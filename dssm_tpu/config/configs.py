@@ -1,0 +1,244 @@
+"""Frozen dataclass configs and the five named presets.
+
+Reference parity: the canonical DSSM-family code configures itself with
+~6 `tf.app.flags` flags plus hardcoded constants (TRIGRAM_D, NEG=50,
+BS=1000, gamma=20 — SURVEY.md §6.6 [R-high]). Every such constant is
+promoted to a config field here; the five presets mirror BASELINE.json:7-11.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class TowerConfig:
+    """Architecture of one (or both, if shared) semantic towers.
+
+    Reference: 30k->300->300->128 tanh MLP per the DSSM paper / BASELINE.json:7;
+    the canonical code lineage uses relu and shared query/doc weights
+    (SURVEY.md §3.1 row 3) — both are config flags here.
+    """
+
+    arch: str = "mlp"  # "mlp" | "cnn" | "lstm"
+    vocab_size: int = 30_000  # letter-trigram hash dimension (TRIGRAM_D)
+    embed_width: int = 300  # output width of the sparse first layer
+    hidden_dims: Tuple[int, ...] = (300,)  # dense layers between embed and semantic
+    semantic_dim: int = 128  # final embedding dimension
+    activation: str = "tanh"  # "tanh" | "relu"
+    shared_weights: bool = True  # share tower weights between query and doc
+    # CNN (CLSM) only: conv window over word sequence, feature maps
+    conv_window: int = 3
+    conv_channels: int = 300
+    # LSTM only: hidden size of the recurrent cell
+    lstm_hidden: int = 300
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # "bfloat16" on TPU for MXU throughput
+
+    @property
+    def is_sequence_model(self) -> bool:
+        return self.arch in ("cnn", "lstm")
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Input representation.
+
+    TPU has no sparse tensors: a text is a fixed-length (indices[K], weights[K])
+    pair, padded with index 0 / weight 0 (index 0 is reserved for padding by
+    the trigram hasher). Sequence models use (indices[T, Kw], weights[T, Kw])
+    plus a word mask[T].
+    """
+
+    max_trigrams: int = 64  # K: nonzeros kept per text (bag-of-trigrams models)
+    max_words: int = 16  # T: words kept per text (cnn/lstm)
+    max_trigrams_per_word: int = 8  # Kw
+    normalize_counts: bool = False  # l2-normalize trigram count vector
+    toy_vocab_words: int = 512  # toy dataset: word vocabulary size
+    toy_num_pairs: int = 4096  # toy dataset: number of query-title pairs
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Cosine-softmax loss over negatives.
+
+    mode="in_batch": score the full [B, B'] similarity matrix; diagonal (offset
+      by the shard's global row offset) are positives — B'-1 negatives per query.
+      This is the build's primary mode (BASELINE.json:8) and a strict superset
+      of the reference's rotation trick.
+    mode="rotate": the reference-family FD_rotate trick — each query is scored
+      against its own doc plus `num_negatives` rotated copies of the doc batch
+      (SURVEY.md §3.1 row 4 [R-high], canonical NEG=50). Kept for step-for-step
+      parity with the numpy oracle.
+    """
+
+    mode: str = "in_batch"  # "in_batch" | "rotate"
+    num_negatives: int = 50  # NEG, rotate mode only
+    gamma: float = 20.0  # softmax smoothing γ (hardcoded 20 in the reference)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh: ('data', 'model').
+
+    data  — batch sharding (DP) + the axis the doc-embedding all-gather rides
+    model — vocab-axis sharding of the trigram embedding table (TP), used when
+            vocab_size x embed_width exceeds the per-chip HBM budget
+            (BASELINE.json:11). 1 disables embedding sharding.
+    """
+
+    data_parallel: int = -1  # -1: all remaining devices
+    model_parallel: int = 1
+    global_negatives: bool = True  # all-gather doc embeddings over 'data'
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 256  # global batch (split across 'data' axis)
+    learning_rate: float = 0.1
+    optimizer: str = "sgd"  # "sgd" | "momentum" | "adam"
+    momentum: float = 0.9
+    max_steps: int = 1000
+    eval_every: int = 100  # reference: epoch_steps
+    log_every: int = 20
+    checkpoint_every: int = 500
+    keep_checkpoints: int = 3
+    seed: int = 42
+    use_pallas: bool = True  # Pallas kernels when on TPU; XLA fallback otherwise
+    remat: bool = False  # jax.checkpoint the towers (trade FLOPs for HBM)
+
+
+@dataclass(frozen=True)
+class IOConfig:
+    workdir: str = "/tmp/dssm_run"
+    metrics_file: str = "metrics.jsonl"
+    profile_dir: Optional[str] = None
+    tensorboard: bool = False
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    name: str = "tiny"
+    tower: TowerConfig = field(default_factory=TowerConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    io: IOConfig = field(default_factory=IOConfig)
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _preset_tiny() -> RunConfig:
+    """Tiny DSSM: 30k hash, 300-300-128 towers, batch 256, CPU-runnable.
+
+    BASELINE.json:7.
+    """
+    return RunConfig(
+        name="tiny",
+        tower=TowerConfig(arch="mlp", vocab_size=30_000, embed_width=300,
+                          hidden_dims=(300,), semantic_dim=128),
+        train=TrainConfig(batch_size=256, use_pallas=False),
+    )
+
+
+def _preset_full() -> RunConfig:
+    """Full DSSM: 500k trigram vocab, batch 1024 in-batch negatives.
+
+    BASELINE.json:8.
+    """
+    return RunConfig(
+        name="full",
+        tower=TowerConfig(arch="mlp", vocab_size=500_000, embed_width=300,
+                          hidden_dims=(300,), semantic_dim=128,
+                          compute_dtype="bfloat16"),
+        data=DataConfig(toy_vocab_words=8192, toy_num_pairs=65536),
+        train=TrainConfig(batch_size=1024),
+    )
+
+
+def _preset_cnn() -> RunConfig:
+    """CNN-DSSM (CLSM): conv towers + max-pool over trigram windows.
+
+    BASELINE.json:9.
+    """
+    return RunConfig(
+        name="cnn",
+        tower=TowerConfig(arch="cnn", vocab_size=30_000, embed_width=300,
+                          conv_window=3, conv_channels=300, semantic_dim=128),
+        train=TrainConfig(batch_size=256),
+    )
+
+
+def _preset_lstm() -> RunConfig:
+    """LSTM-DSSM: recurrent towers, final-state embeddings.
+
+    BASELINE.json:10.
+    """
+    return RunConfig(
+        name="lstm",
+        tower=TowerConfig(arch="lstm", vocab_size=30_000, embed_width=300,
+                          lstm_hidden=300, semantic_dim=128),
+        train=TrainConfig(batch_size=256),
+    )
+
+
+def _preset_multihost() -> RunConfig:
+    """Multi-host DSSM: sharded embedding + global negative pool via all-gather.
+
+    65k effective negatives on N>=2 hosts. BASELINE.json:11.
+    """
+    return RunConfig(
+        name="multihost",
+        tower=TowerConfig(arch="mlp", vocab_size=500_000, embed_width=300,
+                          hidden_dims=(300,), semantic_dim=128,
+                          compute_dtype="bfloat16"),
+        data=DataConfig(toy_vocab_words=8192, toy_num_pairs=131072),
+        mesh=MeshConfig(data_parallel=-1, model_parallel=1,
+                        global_negatives=True),
+        train=TrainConfig(batch_size=65536),
+    )
+
+
+PRESETS = {
+    "tiny": _preset_tiny,
+    "full": _preset_full,
+    "cnn": _preset_cnn,
+    "lstm": _preset_lstm,
+    "multihost": _preset_multihost,
+}
+
+
+def get_preset(name: str) -> RunConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]()
+
+
+def apply_overrides(cfg: RunConfig, overrides: dict) -> RunConfig:
+    """Apply dotted-key CLI overrides: {"train.learning_rate": 0.05}."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        if len(parts) == 1:
+            cfg = dataclasses.replace(cfg, **{parts[0]: value})
+            continue
+        section = getattr(cfg, parts[0])
+        leaf = section
+        for p in parts[1:-1]:
+            leaf = getattr(leaf, p)
+        # Rebuild from the leaf outward
+        def rebuild(obj, path, val):
+            if len(path) == 1:
+                fld = {f.name: f.type for f in dataclasses.fields(obj)}
+                if path[0] not in fld:
+                    raise KeyError(f"no field {path[0]!r} on {type(obj).__name__}")
+                return dataclasses.replace(obj, **{path[0]: val})
+            child = rebuild(getattr(obj, path[0]), path[1:], val)
+            return dataclasses.replace(obj, **{path[0]: child})
+
+        cfg = rebuild(cfg, parts, value)
+    return cfg

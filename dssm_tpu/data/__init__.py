@@ -1,0 +1,10 @@
+from dssm_tpu.data import trigram  # noqa: F401
+from dssm_tpu.data.loader import (  # noqa: F401
+    Batch,
+    HashedPairs,
+    batch_iterator,
+    eval_batches,
+    hash_pairs,
+    select_batch,
+)
+from dssm_tpu.data.toy import ToyPairs, make_toy_pairs, train_eval_split  # noqa: F401

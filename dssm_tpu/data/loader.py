@@ -1,0 +1,130 @@
+"""Host-side input pipeline: hash once, batch forever.
+
+Reference mechanism (SURVEY.md §3.1 row 2 [R-high]): unpickle a CSR "pack",
+slice rows per batch, convert to COO, feed via feed_dict every step. Here the
+corpus is hashed once into fixed-length numpy arrays (the TPU-friendly sparse
+encoding, see data/trigram.py) and batching is pure array slicing; device
+transfer happens in the train loop via jax.device_put with a batch sharding.
+
+Multi-host: each host deterministically owns a disjoint, equally-sized shard
+of every global batch (same seed => same permutation on every host), so the
+all-gathered doc-embedding pool lines up with the diagonal positive labels
+(SURVEY.md §8 hard part 6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from dssm_tpu.config import DataConfig, TowerConfig
+from dssm_tpu.data import trigram
+from dssm_tpu.data.toy import ToyPairs
+
+Batch = Dict[str, np.ndarray]
+
+
+@dataclass
+class HashedPairs:
+    """Whole corpus, pre-hashed. Bag fields always present; sequence fields
+    only for cnn/lstm towers."""
+
+    q_idx: np.ndarray  # [N, K] int32
+    q_wgt: np.ndarray  # [N, K] f32
+    d_idx: np.ndarray
+    d_wgt: np.ndarray
+    q_seq_idx: Optional[np.ndarray] = None  # [N, T, Kw]
+    q_seq_wgt: Optional[np.ndarray] = None
+    q_mask: Optional[np.ndarray] = None  # [N, T]
+    d_seq_idx: Optional[np.ndarray] = None
+    d_seq_wgt: Optional[np.ndarray] = None
+    d_mask: Optional[np.ndarray] = None
+
+    def __len__(self) -> int:
+        return self.q_idx.shape[0]
+
+
+def hash_pairs(pairs: ToyPairs, tower: TowerConfig, data: DataConfig) -> HashedPairs:
+    q_idx, q_wgt = trigram.hash_batch(
+        pairs.queries, tower.vocab_size, data.max_trigrams, data.normalize_counts
+    )
+    d_idx, d_wgt = trigram.hash_batch(
+        pairs.titles, tower.vocab_size, data.max_trigrams, data.normalize_counts
+    )
+    out = HashedPairs(q_idx=q_idx, q_wgt=q_wgt, d_idx=d_idx, d_wgt=d_wgt)
+    if tower.is_sequence_model:
+        out.q_seq_idx, out.q_seq_wgt, out.q_mask = trigram.hash_batch_sequence(
+            pairs.queries, tower.vocab_size, data.max_words,
+            data.max_trigrams_per_word, data.normalize_counts,
+        )
+        out.d_seq_idx, out.d_seq_wgt, out.d_mask = trigram.hash_batch_sequence(
+            pairs.titles, tower.vocab_size, data.max_words,
+            data.max_trigrams_per_word, data.normalize_counts,
+        )
+    return out
+
+
+def select_batch(hashed: HashedPairs, rows: np.ndarray,
+                 sequence: bool) -> Batch:
+    if sequence:
+        return {
+            "q_idx": hashed.q_seq_idx[rows],
+            "q_wgt": hashed.q_seq_wgt[rows],
+            "q_mask": hashed.q_mask[rows],
+            "d_idx": hashed.d_seq_idx[rows],
+            "d_wgt": hashed.d_seq_wgt[rows],
+            "d_mask": hashed.d_mask[rows],
+        }
+    return {
+        "q_idx": hashed.q_idx[rows],
+        "q_wgt": hashed.q_wgt[rows],
+        "d_idx": hashed.d_idx[rows],
+        "d_wgt": hashed.d_wgt[rows],
+    }
+
+
+def batch_iterator(
+    hashed: HashedPairs,
+    global_batch: int,
+    sequence: bool = False,
+    seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
+    drop_remainder: bool = True,
+) -> Iterator[Batch]:
+    """Infinite epoch-shuffled iterator over per-host batch shards.
+
+    Every host computes the identical global permutation (seeded numpy RNG),
+    takes rows [global_batch] per step, then slices its own contiguous
+    process shard — shard h gets rows [h*B_local, (h+1)*B_local). Positive
+    labels after the all-gather are diagonal offset h*B_local.
+    """
+    n = len(hashed)
+    if global_batch % process_count != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by {process_count} hosts"
+        )
+    local = global_batch // process_count
+    if global_batch > n:
+        raise ValueError(f"global batch {global_batch} > corpus size {n}")
+    epoch = 0
+    while True:
+        rng = np.random.default_rng((seed, epoch))
+        perm = rng.permutation(n)
+        for start in range(0, n - global_batch + 1, global_batch):
+            rows = perm[start : start + global_batch]
+            shard = rows[process_index * local : (process_index + 1) * local]
+            yield select_batch(hashed, shard, sequence)
+        epoch += 1
+
+
+def eval_batches(
+    hashed: HashedPairs, batch: int, sequence: bool = False
+) -> Iterator[Batch]:
+    """One pass over the eval corpus in order, truncating the ragged tail."""
+    n = len(hashed)
+    for start in range(0, n - batch + 1, batch):
+        rows = np.arange(start, start + batch)
+        yield select_batch(hashed, rows, sequence)

@@ -1,0 +1,114 @@
+"""Single-device train step + loop.
+
+Reference: a Python `for` loop calling `sess.run(train_step, feed_dict)` each
+step (SURVEY.md §4.1) — per-step Python/feed_dict overhead is the chief thing
+`jit` removes: here the towers, loss, backward, and optimizer update compile
+to one XLA executable, one dispatch per step.
+
+The multi-device path (pjit over a mesh, all-gather negative pool) lives in
+dssm_tpu/parallel/; this module is the single-device core it builds on.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dssm_tpu.config import RunConfig
+from dssm_tpu.loss.cosine_softmax import in_batch_loss, rotate_loss
+from dssm_tpu.models import base as model_base
+from dssm_tpu.oracle.numpy_oracle import rotation_offsets
+from dssm_tpu.train.state import TrainState, make_optimizer
+
+
+def make_loss_fn(cfg: RunConfig, impl: str) -> Callable:
+    def loss_fn(params, batch):
+        embed = functools.partial(
+            model_base.embed, params, cfg.tower, impl=impl
+        )
+        if cfg.train.remat:
+            embed = jax.checkpoint(embed)
+        q = embed("q", batch)
+        d = embed("d", batch)
+        if cfg.loss.mode == "rotate":
+            loss, aux = rotate_loss(q, d, batch["rot_offsets"], cfg.loss.gamma)
+        else:
+            loss, aux = in_batch_loss(q, d, cfg.loss.gamma, impl=impl)
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics)."""
+    if impl is None:
+        impl = "auto" if cfg.train.use_pallas else "xla"
+    tx = make_optimizer(cfg.train)
+    loss_fn = make_loss_fn(cfg, impl)
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
+    if impl is None:
+        impl = "auto" if cfg.train.use_pallas else "xla"
+    loss_fn = make_loss_fn(cfg, impl)
+
+    @jax.jit
+    def eval_step(params, batch) -> Dict:
+        _, aux = loss_fn(params, batch)
+        return aux
+
+    return eval_step
+
+
+def add_rotation_offsets(batch: Dict, cfg: RunConfig, step: int) -> Dict:
+    """Rotate-parity mode: attach deterministic per-step rotation offsets."""
+    if cfg.loss.mode == "rotate":
+        b = batch["q_idx"].shape[0]
+        batch = dict(batch)
+        batch["rot_offsets"] = np.asarray(
+            rotation_offsets(b, cfg.loss.num_negatives, cfg.train.seed + step),
+            dtype=np.int32,
+        )
+    return batch
+
+
+def train(
+    cfg: RunConfig,
+    state: TrainState,
+    batches: Iterator[Dict],
+    num_steps: int,
+    metrics_cb: Optional[Callable[[int, Dict], None]] = None,
+) -> TrainState:
+    """Simple single-device driver used by tests and the tiny CPU preset."""
+    step_fn = make_train_step(cfg)
+    sequence = cfg.tower.is_sequence_model
+    del sequence  # loader already picked the right fields
+    for i in range(num_steps):
+        batch = add_rotation_offsets(next(batches), cfg, i)
+        t0 = time.perf_counter()
+        state, aux = step_fn(state, batch)
+        if metrics_cb is not None and (i % cfg.train.log_every == 0):
+            aux = {k: float(v) for k, v in aux.items()}
+            aux["step_ms"] = (time.perf_counter() - t0) * 1e3
+            metrics_cb(i, aux)
+    return state

@@ -1,0 +1,43 @@
+"""TrainState and optimizer construction.
+
+Reference: `tf.train.GradientDescentOptimizer(lr).minimize(loss)` and nothing
+else (SURVEY.md §3.1 row 6 [R-high]). SGD is the parity default; momentum and
+adam are options, all via optax so the update is part of the one compiled step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from dssm_tpu.config import TrainConfig
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "sgd":
+        return optax.sgd(cfg.learning_rate)
+    if cfg.optimizer == "momentum":
+        return optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.learning_rate)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def create_state(params: Dict, cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
