@@ -13,8 +13,13 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 
+class _Replaceable:
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
 @dataclass(frozen=True)
-class TowerConfig:
+class TowerConfig(_Replaceable):
     """Architecture of one (or both, if shared) semantic towers.
 
     Reference: 30k->300->300->128 tanh MLP per the DSSM paper / BASELINE.json:7;
@@ -43,7 +48,7 @@ class TowerConfig:
 
 
 @dataclass(frozen=True)
-class DataConfig:
+class DataConfig(_Replaceable):
     """Input representation.
 
     TPU has no sparse tensors: a text is a fixed-length (indices[K], weights[K])
@@ -62,7 +67,7 @@ class DataConfig:
 
 
 @dataclass(frozen=True)
-class LossConfig:
+class LossConfig(_Replaceable):
     """Cosine-softmax loss over negatives.
 
     mode="in_batch": score the full [B, B'] similarity matrix; diagonal (offset
@@ -81,7 +86,7 @@ class LossConfig:
 
 
 @dataclass(frozen=True)
-class MeshConfig:
+class MeshConfig(_Replaceable):
     """Device mesh: ('data', 'model').
 
     data  — batch sharding (DP) + the axis the doc-embedding all-gather rides
@@ -96,7 +101,7 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
-class TrainConfig:
+class TrainConfig(_Replaceable):
     batch_size: int = 256  # global batch (split across 'data' axis)
     learning_rate: float = 0.1
     optimizer: str = "sgd"  # "sgd" | "momentum" | "adam"
@@ -112,7 +117,7 @@ class TrainConfig:
 
 
 @dataclass(frozen=True)
-class IOConfig:
+class IOConfig(_Replaceable):
     workdir: str = "/tmp/dssm_run"
     metrics_file: str = "metrics.jsonl"
     profile_dir: Optional[str] = None
@@ -120,7 +125,7 @@ class IOConfig:
 
 
 @dataclass(frozen=True)
-class RunConfig:
+class RunConfig(_Replaceable):
     name: str = "tiny"
     tower: TowerConfig = field(default_factory=TowerConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -128,9 +133,6 @@ class RunConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     io: IOConfig = field(default_factory=IOConfig)
-
-    def replace(self, **kw) -> "RunConfig":
-        return dataclasses.replace(self, **kw)
 
 
 def _preset_tiny() -> RunConfig:

@@ -1,0 +1,92 @@
+"""Vocab-sharded embedding lookup: local partial gather + psum.
+
+When the trigram table is sharded on the vocab axis over the 'model' mesh axis
+(500k-vocab Full/Multi-host DSSM, BASELINE.json:11), a plain gather would make
+XLA all-gather the whole table. Instead each shard gathers only the indices it
+owns (out-of-range indices masked to weight 0) and the partial sums are
+psum-reduced over 'model' — the "local partial gather + psum" design of
+SURVEY.md §3.3. shard_map makes the communication explicit; autodiff through
+it yields the masked local scatter-add for the table gradient with no dense
+[B, V] intermediate (SURVEY.md §8 hard part 3).
+
+The lookup runs inside the auto-sharded train step via a context: the
+parallel train step installs (mesh, axis) and `embedding_bag` routes here
+when the table is vocab-sharded, so model code never changes.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+_CTX = threading.local()
+
+
+@contextmanager
+def sharded_lookup_context(mesh: Mesh, model_axis: str = "model",
+                           data_axis: str = "data", base_impl: str = "xla"):
+    prev = getattr(_CTX, "value", None)
+    _CTX.value = (mesh, model_axis, data_axis, base_impl)
+    try:
+        yield
+    finally:
+        _CTX.value = prev
+
+
+def current_context() -> Optional[Tuple[Mesh, str, str, str]]:
+    return getattr(_CTX, "value", None)
+
+
+def embedding_bag_sharded(
+    table: jax.Array,
+    idx: jax.Array,
+    wgt: jax.Array,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    base_impl: str = "xla",
+) -> jax.Array:
+    """table [V, H] sharded P(model, None); idx/wgt [B, ...K] sharded P(data).
+
+    Returns [B, ..., H] sharded P(data), replicated over model.
+    """
+    mp = mesh.shape[model_axis]
+    v = table.shape[0]
+    if v % mp != 0:
+        raise ValueError(f"vocab {v} not divisible by model_parallel {mp}")
+    rows_per_shard = v // mp
+
+    batch_rank = idx.ndim  # [B, K] or [B, T, K]
+    batch_spec = P(data_axis, *([None] * (batch_rank - 1)))
+    out_spec = P(data_axis, *([None] * (batch_rank - 1)))
+
+    def local_fn(tbl, lidx, lwgt):
+        # Dispatch the base impl directly — going back through
+        # embedding_bag() would re-enter the sharded-context routing.
+        from dssm_tpu.kernels.sparse_embed import embedding_bag_xla
+
+        if base_impl == "pallas":
+            from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas as bag
+        else:
+            bag = embedding_bag_xla
+        shard = jax.lax.axis_index(model_axis)
+        lo = shard * rows_per_shard
+        rel = lidx - lo
+        owned = (rel >= 0) & (rel < rows_per_shard)
+        rel = jnp.clip(rel, 0, rows_per_shard - 1)
+        partial = bag(tbl, rel, lwgt * owned.astype(lwgt.dtype))
+        return jax.lax.psum(partial, model_axis)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(model_axis, None), batch_spec, batch_spec),
+        out_specs=out_spec,
+        check_vma=False,
+    )(table, idx, wgt)

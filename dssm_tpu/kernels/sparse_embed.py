@@ -52,6 +52,18 @@ def embedding_bag(
     *,
     impl: str = "auto",
 ) -> jax.Array:
+    # Inside a vocab-sharded training step (parallel/train_step.py installs
+    # the context), route through the local-gather + psum shard_map path.
+    from dssm_tpu.kernels import sharded_embed
+
+    ctx = sharded_embed.current_context()
+    if ctx is not None:
+        mesh, model_axis, data_axis, base_impl = ctx
+        if mesh.shape[model_axis] > 1:
+            return sharded_embed.embedding_bag_sharded(
+                table, idx, wgt, mesh, model_axis, data_axis, base_impl
+            )
+        impl = base_impl
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
     if impl == "xla":
