@@ -1,0 +1,194 @@
+"""Training entry point.
+
+Reference: `python dssm.py` with ~6 tf.app.flags (SURVEY.md §4.1). Here:
+
+    python -m dssm_tpu.cli.train --preset=tiny [--cpu] [--resume] \
+        [--train.max_steps=1000] [--train.learning_rate=0.05] [...]
+
+Any config field is overridable with --section.field=value (types coerced
+from the dataclass defaults). Writes JSONL metrics + orbax checkpoints under
+--io.workdir; evaluates Recall@1/NDCG@10 every train.eval_every steps.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Dict, List, Optional, Tuple
+
+
+def parse_argv(argv: List[str]) -> Tuple[str, bool, bool, Dict[str, str]]:
+    preset, cpu, resume = "tiny", False, False
+    overrides: Dict[str, str] = {}
+    for arg in argv:
+        if not arg.startswith("--"):
+            raise SystemExit(f"unexpected argument {arg!r}; use --key=value")
+        body = arg[2:]
+        if body == "cpu":
+            cpu = True
+        elif body == "resume":
+            resume = True
+        elif body.startswith("preset="):
+            preset = body.split("=", 1)[1]
+        elif "=" in body:
+            k, v = body.split("=", 1)
+            overrides[k] = v
+        else:
+            raise SystemExit(f"unknown flag {arg!r}")
+    return preset, cpu, resume, overrides
+
+
+def coerce_overrides(cfg, overrides: Dict[str, str]):
+    """Coerce string values to each field's current type, then apply."""
+    from dssm_tpu.config import apply_overrides
+
+    typed = {}
+    for key, raw in overrides.items():
+        node = cfg
+        for part in key.split("."):
+            node = getattr(node, part)  # raises AttributeError for bad keys
+        if isinstance(node, bool):
+            typed[key] = raw.lower() in ("1", "true", "yes")
+        elif isinstance(node, int):
+            typed[key] = int(raw)
+        elif isinstance(node, float):
+            typed[key] = float(raw)
+        elif isinstance(node, tuple):
+            typed[key] = tuple(int(x) for x in raw.split(",") if x)
+        else:
+            typed[key] = raw
+    return apply_overrides(cfg, typed)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    preset, cpu, resume, raw_overrides = parse_argv(
+        sys.argv[1:] if argv is None else argv
+    )
+    if cpu:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dssm_tpu.config import get_preset
+    from dssm_tpu.data import (
+        batch_iterator, hash_pairs, make_toy_pairs, train_eval_split,
+    )
+    from dssm_tpu.io.checkpoint import Checkpointer
+    from dssm_tpu.io.metrics import MetricsWriter
+    from dssm_tpu.kernels.pallas_gather import sublane_group
+    from dssm_tpu.models import base as model_base
+    from dssm_tpu.parallel import dist
+    from dssm_tpu.parallel.mesh import make_mesh
+    from dssm_tpu.parallel.train_step import (
+        create_sharded_state, make_parallel_train_step,
+    )
+    from dssm_tpu.train.eval import evaluate
+    from dssm_tpu.train.loop import add_rotation_offsets, make_train_step
+    from dssm_tpu.train.state import create_state
+    from dssm_tpu.train.sparse_update import uses_sparse_update
+
+    dist.initialize()
+    cfg = coerce_overrides(get_preset(preset), raw_overrides)
+    devices = jax.devices()
+    multi_device = len(devices) > 1 or cfg.mesh.model_parallel > 1
+    print(f"preset={cfg.name} devices={len(devices)}x{devices[0].platform} "
+          f"hosts={jax.process_count()} multi_device={multi_device}",
+          file=sys.stderr)
+
+    # Data: the toy clickthrough corpus (real corpora plug in via data/).
+    pairs = make_toy_pairs(cfg.data.toy_num_pairs, cfg.data.toy_vocab_words,
+                           cfg.data.seed)
+    train_pairs, eval_pairs = train_eval_split(pairs, seed=cfg.data.seed)
+    hashed_train = hash_pairs(train_pairs, cfg.tower, cfg.data)
+    hashed_eval = hash_pairs(eval_pairs, cfg.tower, cfg.data)
+
+    params = model_base.init_params(cfg.tower, seed=cfg.train.seed)
+    table_dtype = params[next(iter(params))][
+        model_base.TABLE_KEY[cfg.tower.arch]].dtype
+    dedup = cfg.data.dedup_lookup and uses_sparse_update(cfg)
+    batches = batch_iterator(
+        hashed_train,
+        cfg.train.batch_size,
+        cfg.tower.is_sequence_model,
+        seed=cfg.train.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        dedup_unique=cfg.data.max_unique if dedup else None,
+        dedup_group=sublane_group(table_dtype),
+    )
+
+    writer = MetricsWriter(f"{cfg.io.workdir}/{cfg.io.metrics_file}")
+    ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)
+
+    if multi_device:
+        mesh = make_mesh(cfg.mesh)
+        state = create_sharded_state(cfg, mesh, params)
+        step_fn = make_parallel_train_step(cfg, mesh)
+        ctx = mesh
+    else:
+        import contextlib
+
+        state = create_state(params, cfg.train)
+        step_fn = make_train_step(cfg)
+        ctx = contextlib.nullcontext()
+
+    if resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}", file=sys.stderr)
+
+    start_step = int(state.step)
+    impl_eval = "xla"  # eval on changing tail shapes: keep XLA fallback
+    with ctx:
+        t_last = time.perf_counter()
+        for step in range(start_step, cfg.train.max_steps):
+            batch = add_rotation_offsets(next(batches), cfg, step)
+            if multi_device:
+                batch = dist.make_global_batch(batch, mesh)
+            state, aux = step_fn(state, batch)
+            if step % cfg.train.log_every == 0:
+                now = time.perf_counter()
+                metrics = {k: float(v) for k, v in aux.items()}
+                metrics["steps_per_sec"] = (
+                    cfg.train.log_every / (now - t_last) if step else 0.0
+                )
+                metrics["pairs_per_sec"] = (
+                    metrics["steps_per_sec"] * cfg.train.batch_size
+                )
+                t_last = now
+                writer.write("train", step, metrics)
+                print(f"step {step}: loss={metrics['loss']:.4f} "
+                      f"r@1={metrics['in_batch_recall@1']:.3f}",
+                      file=sys.stderr)
+            if cfg.train.eval_every and step and step % cfg.train.eval_every == 0:
+                ev = evaluate(state.params, cfg, hashed_eval,
+                              cfg.train.batch_size, impl_eval)
+                writer.write("eval", step, ev)
+                print(f"eval@{step}: recall@1={ev['recall@1']:.3f} "
+                      f"ndcg@10={ev['ndcg@10']:.3f}", file=sys.stderr)
+            if (cfg.train.checkpoint_every and step
+                    and step % cfg.train.checkpoint_every == 0):
+                ckpt.save(step, state)
+
+        ckpt.save(cfg.train.max_steps, state, force=True)
+        ckpt.wait()
+        ev = evaluate(state.params, cfg, hashed_eval, cfg.train.batch_size,
+                      impl_eval)
+        writer.write("eval_final", cfg.train.max_steps, ev)
+        print(f"final eval: recall@1={ev['recall@1']:.3f} "
+              f"ndcg@10={ev['ndcg@10']:.3f} mrr={ev['mrr']:.3f}",
+              file=sys.stderr)
+    writer.close()
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

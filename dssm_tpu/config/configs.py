@@ -61,6 +61,12 @@ class DataConfig(_Replaceable):
     max_words: int = 16  # T: words kept per text (cnn/lstm)
     max_trigrams_per_word: int = 8  # Kw
     normalize_counts: bool = False  # l2-normalize trigram count vector
+    # Per-batch index dedupe (kernels/dedup_embed.py): lookups become a
+    # U-row compact gather + count-matrix matmul. The TPU fast path.
+    dedup_lookup: bool = True
+    # U: compact rows per batch (static). Rows are gathered in sublane GROUPS
+    # (8 for f32 tables), so budget ~8x the expected distinct-trigram count.
+    max_unique: int = 8192
     toy_vocab_words: int = 512  # toy dataset: word vocabulary size
     toy_num_pairs: int = 4096  # toy dataset: number of query-title pairs
     seed: int = 0
@@ -114,6 +120,9 @@ class TrainConfig(_Replaceable):
     seed: int = 42
     use_pallas: bool = True  # Pallas kernels when on TPU; XLA fallback otherwise
     remat: bool = False  # jax.checkpoint the towers (trade FLOPs for HBM)
+    # Row-wise sparse table updates (reference parity: TF IndexedSlices).
+    # Exact for SGD; momentum/adam use the dense step regardless.
+    sparse_embed_update: bool = True
 
 
 @dataclass(frozen=True)

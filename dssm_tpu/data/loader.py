@@ -66,10 +66,33 @@ def hash_pairs(pairs: ToyPairs, tower: TowerConfig, data: DataConfig) -> HashedP
     return out
 
 
-def select_batch(hashed: HashedPairs, rows: np.ndarray,
-                 sequence: bool) -> Batch:
+def add_dedup_fields(batch: Batch, max_unique: int, group: int = 8) -> Batch:
+    """Per-batch index dedupe for the compact-gather + count-matmul lookup
+    (kernels/dedup_embed.py). Adds {q,d}_uniq (row-GROUP ids) / {q,d}_inv
+    (compact row per lookup); dropped-overflow slots get weights zeroed.
+    `group` must be the sublane group of the table dtype (8 f32 / 16 bf16,
+    kernels.pallas_gather.sublane_group)."""
+    from dssm_tpu.kernels.dedup_embed import dedupe_indices
+
+    out = dict(batch)
+    for side in ("q", "d"):
+        uniq, inv, keep = dedupe_indices(batch[f"{side}_idx"], max_unique, group)
+        out[f"{side}_uniq"] = uniq
+        out[f"{side}_inv"] = inv
+        if not np.all(keep == 1.0):
+            out[f"{side}_wgt"] = batch[f"{side}_wgt"] * keep
+    return out
+
+
+def select_batch(
+    hashed: HashedPairs,
+    rows: np.ndarray,
+    sequence: bool,
+    dedup_unique: Optional[int] = None,
+    dedup_group: int = 8,
+) -> Batch:
     if sequence:
-        return {
+        batch = {
             "q_idx": hashed.q_seq_idx[rows],
             "q_wgt": hashed.q_seq_wgt[rows],
             "q_mask": hashed.q_mask[rows],
@@ -77,12 +100,16 @@ def select_batch(hashed: HashedPairs, rows: np.ndarray,
             "d_wgt": hashed.d_seq_wgt[rows],
             "d_mask": hashed.d_mask[rows],
         }
-    return {
-        "q_idx": hashed.q_idx[rows],
-        "q_wgt": hashed.q_wgt[rows],
-        "d_idx": hashed.d_idx[rows],
-        "d_wgt": hashed.d_wgt[rows],
-    }
+    else:
+        batch = {
+            "q_idx": hashed.q_idx[rows],
+            "q_wgt": hashed.q_wgt[rows],
+            "d_idx": hashed.d_idx[rows],
+            "d_wgt": hashed.d_wgt[rows],
+        }
+    if dedup_unique:
+        batch = add_dedup_fields(batch, dedup_unique, dedup_group)
+    return batch
 
 
 def batch_iterator(
@@ -93,6 +120,8 @@ def batch_iterator(
     process_index: int = 0,
     process_count: int = 1,
     drop_remainder: bool = True,
+    dedup_unique: Optional[int] = None,
+    dedup_group: int = 8,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -115,16 +144,31 @@ def batch_iterator(
         perm = rng.permutation(n)
         for start in range(0, n - global_batch + 1, global_batch):
             rows = perm[start : start + global_batch]
-            shard = rows[process_index * local : (process_index + 1) * local]
-            yield select_batch(hashed, shard, sequence)
+            if dedup_unique and process_count > 1:
+                # Dedupe over the GLOBAL batch (identical on every host — same
+                # seed, same permutation) so the *_uniq fields are truly
+                # replicated across hosts; then slice this host's batch shard.
+                gbatch = select_batch(hashed, rows, sequence, dedup_unique,
+                                      dedup_group)
+                lo = process_index * local
+                yield {
+                    k: (v if k.endswith("_uniq") else v[lo : lo + local])
+                    for k, v in gbatch.items()
+                }
+            else:
+                shard = rows[process_index * local : (process_index + 1) * local]
+                yield select_batch(hashed, shard, sequence, dedup_unique,
+                                   dedup_group)
         epoch += 1
 
 
 def eval_batches(
-    hashed: HashedPairs, batch: int, sequence: bool = False
+    hashed: HashedPairs, batch: int, sequence: bool = False,
+    dedup_unique: Optional[int] = None, dedup_group: int = 8,
 ) -> Iterator[Batch]:
-    """One pass over the eval corpus in order, truncating the ragged tail."""
+    """One pass over the eval corpus in order, including the ragged tail
+    (a tail batch costs one extra jit specialization in eval — fine)."""
     n = len(hashed)
-    for start in range(0, n - batch + 1, batch):
-        rows = np.arange(start, start + batch)
-        yield select_batch(hashed, rows, sequence)
+    for start in range(0, n, batch):
+        rows = np.arange(start, min(start + batch, n))
+        yield select_batch(hashed, rows, sequence, dedup_unique, dedup_group)

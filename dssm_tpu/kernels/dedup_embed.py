@@ -1,0 +1,191 @@
+"""Deduplicated embedding lookup: compact gather + count-matrix matmul.
+
+The TPU-native answer to sparse embedding lookup (the "Pallas sparse-lookup +
+matmul kernel" of BASELINE.json:5, stage 1: XLA formulation; the Pallas
+variants plug in behind the same interface).
+
+Motivation (measured on v5e, see SURVEY/BENCH notes): XLA's gather/scatter
+process rows at ~0.02-1 us/row, so a [B*K]=65k-row gather costs ~1.5-5 ms and
+a 65k-row scatter ~5-12 ms — 10-100x off HBM bandwidth. But a batch of short
+texts hits only U << B*K DISTINCT trigram rows (~800 of 65536 slots on the
+toy corpus). So:
+
+  host:   uniq[U], inv[B, K] = dedupe(idx)          (numpy, per batch)
+  device: compact = table[uniq]                     (U-row gather, small)
+          count[b, u] = sum_k wgt[b,k] * (inv[b,k]==u)   (VPU compares)
+          out = count @ compact                     (MXU matmul)
+  bwd:    d_compact = count.T @ g                   (MXU matmul)
+          table[uniq] += -lr * d_compact            (U-row scatter)
+
+Everything after the tiny gather is dense MXU/VPU streaming — no
+data-dependent memory access — which is exactly what the hardware wants.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dedupe_indices(
+    idx: np.ndarray, u_cap: int, group: int = 8
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side batch dedupe, at ROW-GROUP granularity.
+
+    TPU HBM arrays are tiled (8,128) for f32 / (16,128) for bf16, so DMA row
+    slices must be `group`-aligned. Deduping vocab row-GROUPS (idx // group)
+    keeps the compact gather/scatter tile-aligned; the within-group offset
+    (idx % group) folds into the compact row index — the count-matrix column —
+    at zero extra cost.
+
+    idx: int32 [...]. Returns:
+      uniq_groups [u_cap // group] int32 (padded with 0) — GROUP ids; compact
+          row j corresponds to vocab row uniq_groups[j // group]*group + j%group
+      inv  same shape as idx, int32 in [0, u_cap) — compact row per lookup
+      keep_mask same shape, f32 — 0 where a lookup's group was dropped
+          (overflow: rarest groups dropped; caller zeroes those weights)
+    """
+    if u_cap % group:
+        raise ValueError(f"u_cap {u_cap} not divisible by group {group}")
+    g_cap = u_cap // group
+    flat = idx.reshape(-1)
+    gids = flat // group
+    uniq_g, inv_g = np.unique(gids, return_inverse=True)
+    n = uniq_g.shape[0]
+    if n > g_cap:
+        counts = np.bincount(inv_g, minlength=n)
+        keep = np.argsort(-counts, kind="stable")[:g_cap]
+        keep.sort()
+        remap = np.full((n,), -1, dtype=np.int64)
+        remap[keep] = np.arange(g_cap)
+        new_inv_g = remap[inv_g]
+        mask = (new_inv_g >= 0).astype(np.float32)
+        new_inv_g = np.where(new_inv_g >= 0, new_inv_g, 0)
+        uniq_out = uniq_g[keep].astype(np.int32)
+        pad = np.zeros((0,), dtype=np.int32)
+    else:
+        mask = np.ones_like(flat, dtype=np.float32)
+        new_inv_g = inv_g
+        uniq_out = uniq_g.astype(np.int32)
+        pad = np.zeros((g_cap - n,), dtype=np.int32)
+    inv = new_inv_g * group + (flat % group)
+    return (
+        np.concatenate([uniq_out, pad]),
+        inv.reshape(idx.shape).astype(np.int32),
+        mask.reshape(idx.shape),
+    )
+
+
+def count_matrix(
+    inv: jax.Array, wgt: jax.Array, u: int, dtype=jnp.float32
+) -> jax.Array:
+    """count[row, u] = sum_k wgt[row, k] * (inv[row, k] == u).
+
+    inv/wgt [..., K] -> count [prod(...), U]. Built as K one-hot
+    accumulations — pure VPU compares, no scatter.
+    """
+    k = inv.shape[-1]
+    inv2 = inv.reshape(-1, k)
+    wgt2 = wgt.reshape(-1, k).astype(dtype)
+    rows = inv2.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, u), 1)
+
+    def body(i, acc):
+        hit = (inv2[:, i][:, None] == cols).astype(dtype)
+        return acc + wgt2[:, i][:, None] * hit
+
+    return jax.lax.fori_loop(0, k, body, jnp.zeros((rows, u), dtype=dtype))
+
+
+def lookup_from_compact(
+    compact: jax.Array,
+    inv: jax.Array,
+    wgt: jax.Array,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """out[...] = sum_k wgt[..., k] * compact[inv[..., k]] via count @ compact.
+
+    Differentiable in `compact` (linear — XLA autodiff emits count.T @ g,
+    another MXU matmul). inv/wgt are data.
+    """
+    u, h = compact.shape
+    cnt = count_matrix(inv, wgt, u, dtype=compute_dtype)
+    cnt = jax.lax.stop_gradient(cnt)
+    out = jnp.dot(cnt, compact.astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    return out.reshape(*inv.shape[:-1], h)
+
+
+def expand_group_rows(uniq_groups: jax.Array, group: int) -> jax.Array:
+    """GROUP ids [G] -> vocab row ids [G * group] (compact row order)."""
+    g = uniq_groups.shape[0]
+    offs = jnp.arange(group, dtype=uniq_groups.dtype)
+    return (uniq_groups[:, None] * group + offs[None, :]).reshape(g * group)
+
+
+def gather_compact(
+    table: jax.Array, uniq_groups: jax.Array, group: int = 8,
+    impl: str = "xla",
+) -> jax.Array:
+    """compact [G*group, H] = table rows of each unique group.
+
+    Under a vocab-sharded context each 'model' shard gathers its owned rows
+    (others masked to zero) and partial compacts are psum-reduced — the dedup
+    analogue of sharded_embed.embedding_bag_sharded. impl="pallas" uses the
+    DMA group-gather kernel (kernels/pallas_gather.py) on TPU.
+    """
+    from dssm_tpu.kernels import sharded_embed
+
+    ctx = sharded_embed.current_context()
+    if ctx is not None:
+        mesh, model_axis, _, _ = ctx
+        if mesh.shape[model_axis] > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mp = mesh.shape[model_axis]
+            rows_per_shard = table.shape[0] // mp
+            rows = expand_group_rows(uniq_groups, group)
+
+            def local_fn(tbl, r):
+                shard = jax.lax.axis_index(model_axis)
+                lo = shard * rows_per_shard
+                rel = r - lo
+                owned = (rel >= 0) & (rel < rows_per_shard)
+                rel = jnp.clip(rel, 0, rows_per_shard - 1)
+                part = jnp.take(tbl, rel, axis=0) * owned[:, None].astype(
+                    tbl.dtype
+                )
+                return jax.lax.psum(part, model_axis)
+
+            return shard_map(
+                local_fn,
+                mesh=mesh,
+                in_specs=(P(model_axis, None), P()),
+                out_specs=P(),
+                check_vma=False,
+            )(table, rows)
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if impl == "pallas":
+        from dssm_tpu.kernels.pallas_gather import gather_row_groups
+
+        return gather_row_groups(table, uniq_groups, group)
+    return jnp.take(table, expand_group_rows(uniq_groups, group), axis=0)
+
+
+def dedup_embedding_bag(
+    table: jax.Array,
+    uniq_groups: jax.Array,
+    inv: jax.Array,
+    wgt: jax.Array,
+    compute_dtype=jnp.float32,
+    group: int = 8,
+    impl: str = "xla",
+) -> jax.Array:
+    """Full fwd path: gather compact row-groups then count-matmul."""
+    compact = gather_compact(table, uniq_groups, group, impl=impl)
+    return lookup_from_compact(compact, inv, wgt, compute_dtype)

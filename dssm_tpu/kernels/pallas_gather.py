@@ -1,0 +1,178 @@
+"""Pallas TPU kernels: compact row-group gather and scatter-add via async DMA.
+
+XLA's TPU gather/scatter process rows through a serial row engine
+(~0.1-1 us/row measured on v5e) — 10-100x off HBM bandwidth for embedding
+row access. These kernels instead issue one aligned GROUP-DMA per unique
+vocab row-group (group = sublane tile: 8 rows for f32, 16 for bf16 — Mosaic
+requires HBM slices tile-aligned), many in flight per grid step, which the
+DMA engines stream concurrently:
+
+  gather_row_groups(table [V,H], gids [G]) -> [G*group, H]
+  scatter_add_row_groups(table, gids [G], vals [G*group, H]) -> table
+      (RMW: group DMA in, VPU add, group DMA out; table aliased in place)
+
+Group ids arrive via PrefetchScalarGridSpec scalar prefetch so DMA source
+addresses are known before the kernel body runs.
+
+scatter_add_row_groups REQUIRES distinct group ids except entries whose val
+rows are all zero (the dedup pipeline guarantees this: uniq_groups is unique,
+padding slots carry zero gradients) — duplicate nonzero groups would race the
+read-modify-write.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_GROUPS_PER_STEP = 32
+
+
+def sublane_group(dtype) -> int:
+    """Minimum aligned row-group for DMA slicing of a [V, H] table."""
+    dtype = jnp.dtype(dtype)
+    if dtype.itemsize == 4:
+        return 8
+    if dtype.itemsize == 2:
+        return 16
+    if dtype.itemsize == 1:
+        return 32
+    raise ValueError(f"unsupported table dtype {dtype}")
+
+
+def _gather_kernel(tg, group, gid_ref, table_ref, out_ref, sems):
+    i = pl.program_id(0)
+    base = i * tg
+
+    def dma(r):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(gid_ref[base + r] * group, group)],
+            out_ref.at[pl.ds(r * group, group)],
+            sems.at[r],
+        )
+
+    for r in range(tg):
+        dma(r).start()
+    for r in range(tg):
+        dma(r).wait()
+
+
+def gather_row_groups(
+    table: jax.Array,
+    gids: jax.Array,
+    group: int,
+    *,
+    interpret: bool = False,
+    groups_per_step: int = _GROUPS_PER_STEP,
+) -> jax.Array:
+    """table [V, H], gids [G] int32 -> [G*group, H] (same dtype as table)."""
+    g = gids.shape[0]
+    v, h = table.shape
+    if v % group:
+        raise ValueError(f"vocab {v} not divisible by group {group}")
+    tg = min(groups_per_step, g)
+    if g % tg:
+        raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g // tg,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((tg * group, h), lambda i, gid_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((tg,))],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, tg, group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g * group, h), table.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * g * group * h * table.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(gids, table)
+
+
+def _scatter_kernel(tg, group, gid_ref, vals_ref, table_in_ref, table_out_ref,
+                    scratch, read_sems, write_sems):
+    i = pl.program_id(0)
+    base = i * tg
+
+    def rdma(r):
+        return pltpu.make_async_copy(
+            table_out_ref.at[pl.ds(gid_ref[base + r] * group, group)],
+            scratch.at[pl.ds(r * group, group)],
+            read_sems.at[r],
+        )
+
+    def wdma(r):
+        return pltpu.make_async_copy(
+            scratch.at[pl.ds(r * group, group)],
+            table_out_ref.at[pl.ds(gid_ref[base + r] * group, group)],
+            write_sems.at[r],
+        )
+
+    for r in range(tg):
+        rdma(r).start()
+    for r in range(tg):
+        rdma(r).wait()
+    scratch[:] = scratch[:] + vals_ref[:].astype(scratch.dtype)
+    for r in range(tg):
+        wdma(r).start()
+    for r in range(tg):
+        wdma(r).wait()
+
+
+def scatter_add_row_groups(
+    table: jax.Array,
+    gids: jax.Array,
+    vals: jax.Array,
+    group: int,
+    *,
+    interpret: bool = False,
+    groups_per_step: int = _GROUPS_PER_STEP,
+) -> jax.Array:
+    """Returns table with vals added at each group's rows; buffer aliased.
+
+    Group ids must be distinct wherever vals is nonzero (module docstring).
+    """
+    g = gids.shape[0]
+    v, h = table.shape
+    if v % group:
+        raise ValueError(f"vocab {v} not divisible by group {group}")
+    tg = min(groups_per_step, g)
+    if g % tg:
+        raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g // tg,),
+        in_specs=[
+            pl.BlockSpec((tg * group, h), lambda i, gid_ref: (i, 0),
+                         memory_space=pltpu.VMEM),  # vals block
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased to output)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((tg * group, h), table.dtype),
+            pltpu.SemaphoreType.DMA((tg,)),
+            pltpu.SemaphoreType.DMA((tg,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, tg, group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v, h), table.dtype),
+        input_output_aliases={2: 0},  # operand 2 = table (after gids, vals)
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=g * group * h,
+            bytes_accessed=3 * g * group * h * table.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(gids, vals, table)

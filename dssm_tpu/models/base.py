@@ -42,6 +42,71 @@ def init_params(cfg: TowerConfig, seed: int = 0) -> Params:
     return {"query": init_one(cfg, seed), "doc": init_one(cfg, seed + 1)}
 
 
+def _arch_module(cfg: TowerConfig):
+    from dssm_tpu.models import cnn, lstm, mlp
+
+    return {"mlp": mlp, "cnn": cnn, "lstm": lstm}[cfg.arch]
+
+
+def bag_lookup(
+    table: jax.Array,
+    cfg: TowerConfig,
+    batch: Dict[str, jax.Array],
+    prefix: str,
+    impl: str = "xla",
+) -> jax.Array:
+    """Shared first-layer lookup: the dedup compact-gather + count-matmul fast
+    path when the loader provided {prefix}_uniq/{prefix}_inv, else the plain
+    gather+weighted-sum bag. Output cast to the compute dtype."""
+    import jax.numpy as jnp
+
+    from dssm_tpu.kernels.dedup_embed import dedup_embedding_bag
+    from dssm_tpu.kernels.sparse_embed import embedding_bag
+
+    if f"{prefix}_uniq" in batch:
+        from dssm_tpu.kernels.pallas_gather import sublane_group
+
+        out = dedup_embedding_bag(
+            table,
+            batch[f"{prefix}_uniq"],
+            batch[f"{prefix}_inv"],
+            batch[f"{prefix}_wgt"],
+            jnp.dtype(cfg.compute_dtype),
+            group=sublane_group(table.dtype),
+            impl=impl,
+        )
+    else:
+        out = embedding_bag(
+            table, batch[f"{prefix}_idx"], batch[f"{prefix}_wgt"], impl=impl
+        )
+    return out.astype(jnp.dtype(cfg.compute_dtype))
+
+
+# The single sparse first-layer table of each model family. Every other param
+# is dense; these receive SPARSE gradient updates (train/sparse_update.py),
+# matching the reference where sparse_tensor_dense_matmul yields
+# tf.IndexedSlices and GradientDescentOptimizer applies row-wise updates.
+TABLE_KEY = {"mlp": "W0", "cnn": "Wc", "lstm": "Win"}
+
+LANE = 128  # TPU lane width: DMA-able tables need column counts % 128 == 0
+
+
+def pad_table_cols(arr, lane: int = LANE):
+    """Pad a [V, H] numpy table to H_pad = ceil(H/lane)*lane with zero columns.
+
+    Mosaic HBM row DMAs require lane-aligned extents; the logical width is
+    recovered by slicing the lookup output (tower_from_lookup). Padded columns
+    are zero at init and receive exactly zero gradients, so they stay zero.
+    """
+    import numpy as np
+
+    v, h = arr.shape
+    pad = (-h) % lane
+    if pad == 0:
+        return arr
+    return np.concatenate([arr, np.zeros((v, pad), dtype=arr.dtype)], axis=1)
+
+
 def embed(
     params: Params,
     cfg: TowerConfig,
@@ -51,13 +116,41 @@ def embed(
     impl: str = "xla",
 ) -> jax.Array:
     """batch carries {side}_idx / {side}_wgt (+ {side}_mask for cnn/lstm)."""
-    from dssm_tpu.models import cnn, lstm, mlp
-
-    embed_one = {
-        "mlp": mlp.embed_tower,
-        "cnn": cnn.embed_tower,
-        "lstm": lstm.embed_tower,
-    }[cfg.arch]
+    mod = _arch_module(cfg)
     tp = tower_params(params, side)
     prefix = "q" if side == "q" else "d"
-    return embed_one(tp, cfg, batch, prefix, impl=impl)
+    return mod.embed_tower(tp, cfg, batch, prefix, impl=impl)
+
+
+def embed_table_lookup(
+    params: Params,
+    cfg: TowerConfig,
+    side: str,
+    batch: Dict[str, jax.Array],
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    """The first-layer embedding-bag only: gather+weighted-sum through the
+    trigram table, BEFORE bias/activation. Split out so the sparse-update
+    train step can treat its output as the differentiation boundary and
+    scatter row-wise table updates instead of materializing dense grads."""
+    mod = _arch_module(cfg)
+    tp = tower_params(params, side)
+    prefix = "q" if side == "q" else "d"
+    return mod.table_lookup(tp, cfg, batch, prefix, impl=impl)
+
+
+def embed_from_lookup(
+    params: Params,
+    cfg: TowerConfig,
+    side: str,
+    batch: Dict[str, jax.Array],
+    lookup: jax.Array,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    """Rest of the tower given the table lookup output; touches NO table."""
+    mod = _arch_module(cfg)
+    tp = tower_params(params, side)
+    prefix = "q" if side == "q" else "d"
+    return mod.tower_from_lookup(tp, cfg, batch, prefix, lookup, impl=impl)

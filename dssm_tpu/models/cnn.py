@@ -34,17 +34,19 @@ def init_tower(cfg: TowerConfig, seed: int = 0) -> Dict[str, jax.Array]:
         r = np.sqrt(6.0 / (nin + nout))
         return rng.uniform(-r, r, size=shape).astype(cfg.param_dtype)
 
+    from dssm_tpu.models.base import pad_table_cols
+
     return {
         # Conv projection: window-blocked [V, w*C]; slot p holds the V->C map
-        # applied to the word at window offset p.
-        "Wc": jnp.asarray(uniform(v * w, c, (v, w * c))),
+        # applied to the word at window offset p. Lane-padded for DMA.
+        "Wc": jnp.asarray(pad_table_cols(uniform(v * w, c, (v, w * c)))),
         "bc": jnp.asarray(uniform(v * w, c, (c,))),
         "Ws": jnp.asarray(uniform(c, d, (c, d))),
         "bs": jnp.asarray(uniform(c, d, (d,))),
     }
 
 
-def embed_tower(
+def table_lookup(
     params: Dict[str, jax.Array],
     cfg: TowerConfig,
     batch: Dict[str, jax.Array],
@@ -52,15 +54,27 @@ def embed_tower(
     *,
     impl: str = "xla",
 ) -> jax.Array:
-    idx = batch[f"{prefix}_idx"]  # [B, T, Kw]
-    wgt = batch[f"{prefix}_wgt"]
+    """Per-word window-blocked projection: [B, T, Kw] -> [B, T, window*C]."""
+    from dssm_tpu.models.base import bag_lookup
+
+    return bag_lookup(params["Wc"], cfg, batch, prefix, impl=impl)
+
+
+def tower_from_lookup(
+    params: Dict[str, jax.Array],
+    cfg: TowerConfig,
+    batch: Dict[str, jax.Array],
+    prefix: str,
+    lookup: jax.Array,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
     mask = batch[f"{prefix}_mask"]  # [B, T]
-    b, t, _ = idx.shape
+    b, t, _ = lookup.shape
     w, c = cfg.conv_window, cfg.conv_channels
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-    feat = embedding_bag(params["Wc"].astype(compute_dtype), idx, wgt, impl=impl)
-    feat = feat.reshape(b, t, w, c)
+    feat = lookup[..., : w * c].reshape(b, t, w, c)  # drop lane padding
     # Window combine: h[:, t] = sum_p feat[:, t + p - w//2, p]. Padding words
     # have all-zero weights, so out-of-sentence slots contribute zeros.
     half = w // 2
@@ -79,3 +93,15 @@ def embed_tower(
         cfg.activation,
     )
     return l2_normalize(y.astype(jnp.float32))
+
+
+def embed_tower(
+    params: Dict[str, jax.Array],
+    cfg: TowerConfig,
+    batch: Dict[str, jax.Array],
+    prefix: str,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    lookup = table_lookup(params, cfg, batch, prefix, impl=impl)
+    return tower_from_lookup(params, cfg, batch, prefix, lookup, impl=impl)

@@ -33,8 +33,10 @@ def init_tower(cfg: TowerConfig, seed: int = 0) -> Dict[str, jax.Array]:
         r = np.sqrt(6.0 / (nin + nout))
         return rng.uniform(-r, r, size=shape).astype(cfg.param_dtype)
 
+    from dssm_tpu.models.base import pad_table_cols
+
     return {
-        "Win": jnp.asarray(uniform(v, e, (v, e))),
+        "Win": jnp.asarray(pad_table_cols(uniform(v, e, (v, e)))),
         "bin": jnp.asarray(uniform(v, e, (e,))),
         "Wx": jnp.asarray(uniform(e, 4 * h, (e, 4 * h))),
         "Wh": jnp.asarray(uniform(h, 4 * h, (h, 4 * h))),
@@ -44,7 +46,7 @@ def init_tower(cfg: TowerConfig, seed: int = 0) -> Dict[str, jax.Array]:
     }
 
 
-def embed_tower(
+def table_lookup(
     params: Dict[str, jax.Array],
     cfg: TowerConfig,
     batch: Dict[str, jax.Array],
@@ -52,15 +54,28 @@ def embed_tower(
     *,
     impl: str = "xla",
 ) -> jax.Array:
-    idx = batch[f"{prefix}_idx"]  # [B, T, Kw]
-    wgt = batch[f"{prefix}_wgt"]
+    """Per-word trigram projection: [B, T, Kw] -> [B, T, embed_width]."""
+    from dssm_tpu.models.base import bag_lookup
+
+    return bag_lookup(params["Win"], cfg, batch, prefix, impl=impl)
+
+
+def tower_from_lookup(
+    params: Dict[str, jax.Array],
+    cfg: TowerConfig,
+    batch: Dict[str, jax.Array],
+    prefix: str,
+    lookup: jax.Array,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
     mask = batch[f"{prefix}_mask"]  # [B, T]
-    b, t, _ = idx.shape
+    b, t, _ = lookup.shape
     hdim = cfg.lstm_hidden
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-    x = embedding_bag(params["Win"].astype(compute_dtype), idx, wgt, impl=impl)
-    x = activate(x + params["bin"].astype(compute_dtype), cfg.activation)  # [B, T, E]
+    lookup = lookup[..., : cfg.embed_width]  # drop lane-padding columns
+    x = activate(lookup + params["bin"].astype(compute_dtype), cfg.activation)  # [B, T, E]
 
     wx = params["Wx"].astype(compute_dtype)
     wh = params["Wh"].astype(compute_dtype)
@@ -97,3 +112,15 @@ def embed_tower(
         cfg.activation,
     )
     return l2_normalize(y.astype(jnp.float32))
+
+
+def embed_tower(
+    params: Dict[str, jax.Array],
+    cfg: TowerConfig,
+    batch: Dict[str, jax.Array],
+    prefix: str,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    lookup = table_lookup(params, cfg, batch, prefix, impl=impl)
+    return tower_from_lookup(params, cfg, batch, prefix, lookup, impl=impl)

@@ -27,9 +27,62 @@ def layer_dims(cfg: TowerConfig):
 
 
 def init_tower(cfg: TowerConfig, seed: int = 0) -> Dict[str, jax.Array]:
+    from dssm_tpu.models.base import pad_table_cols
+
     np_params = numpy_oracle.init_params(cfg.vocab_size, layer_dims(cfg), seed=seed)
+    np_params["W0"] = pad_table_cols(np_params["W0"])  # lane-align for DMA
     dtype = jnp.dtype(cfg.param_dtype)
     return {k: jnp.asarray(v, dtype=dtype) for k, v in np_params.items()}
+
+
+def table_lookup(
+    params: Dict[str, jax.Array],
+    cfg: TowerConfig,
+    batch: Dict[str, jax.Array],
+    prefix: str,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    """First-layer embedding bag: [B, K] sparse text -> [B, embed_width].
+
+    The table is gathered at its storage dtype and the (small) result is cast
+    to the compute dtype — casting the whole 500k-row table per step would
+    cost ~1 GB of HBM traffic.
+    """
+    from dssm_tpu.models.base import bag_lookup
+
+    return bag_lookup(params["W0"], cfg, batch, prefix, impl=impl)
+
+
+def tower_from_lookup(
+    params: Dict[str, jax.Array],
+    cfg: TowerConfig,
+    batch: Dict[str, jax.Array],
+    prefix: str,
+    lookup: jax.Array,
+    *,
+    impl: str = "xla",
+) -> jax.Array:
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    lookup = lookup[..., : cfg.embed_width]  # drop lane-padding columns
+    h = activate(lookup + params["b0"].astype(compute_dtype), cfg.activation)
+    # Enumerate by key presence — `params` may be the dense subtree without W0
+    # (sparse-update step), so counting W* keys would miscount.
+    layers = []
+    l = 1
+    while f"W{l}" in params:
+        layers.append(
+            (params[f"W{l}"].astype(compute_dtype),
+             params[f"b{l}"].astype(compute_dtype))
+        )
+        l += 1
+    if layers:
+        y = dense_tower(h.astype(compute_dtype), layers, cfg.activation,
+                        normalize=False, impl=impl)
+    else:
+        y = h
+    # Normalize in f32 for stable cosine geometry even under bf16 compute.
+    return l2_normalize(y.astype(jnp.float32))
 
 
 def embed_tower(
@@ -40,19 +93,5 @@ def embed_tower(
     *,
     impl: str = "xla",
 ) -> jax.Array:
-    idx, wgt = batch[f"{prefix}_idx"], batch[f"{prefix}_wgt"]
-    compute_dtype = jnp.dtype(cfg.compute_dtype)
-    table = params["W0"].astype(compute_dtype)
-    h = embedding_bag(table, idx, wgt, impl=impl)
-    h = activate(h + params["b0"].astype(compute_dtype), cfg.activation)
-    num_layers = len([k for k in params if k.startswith("W")])
-    layers = [
-        (params[f"W{l}"].astype(compute_dtype), params[f"b{l}"].astype(compute_dtype))
-        for l in range(1, num_layers)
-    ]
-    if layers:
-        y = dense_tower(h, layers, cfg.activation, normalize=False, impl=impl)
-    else:
-        y = h
-    # Normalize in f32 for stable cosine geometry even under bf16 compute.
-    return l2_normalize(y.astype(jnp.float32))
+    lookup = table_lookup(params, cfg, batch, prefix, impl=impl)
+    return tower_from_lookup(params, cfg, batch, prefix, lookup, impl=impl)

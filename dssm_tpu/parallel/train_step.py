@@ -60,11 +60,12 @@ def shard_params(params, mesh: Mesh, model_parallel: int):
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
-    # rot_offsets is a per-step [NEG] vector, not batch-dim data — replicate.
-    return {
-        k: jax.device_put(v, rep if k == "rot_offsets" else sh)
-        for k, v in batch.items()
-    }
+    # rot_offsets ([NEG]) and the dedup unique-row lists ([U]) are not
+    # batch-dim data — replicate them.
+    def pick(k):
+        return rep if (k == "rot_offsets" or k.endswith("_uniq")) else sh
+
+    return {k: jax.device_put(v, pick(k)) for k, v in batch.items()}
 
 
 def create_sharded_state(cfg: RunConfig, mesh: Mesh, params) -> TrainState:

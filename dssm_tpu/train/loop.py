@@ -46,7 +46,15 @@ def make_loss_fn(cfg: RunConfig, impl: str) -> Callable:
 
 
 def make_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
-    """Returns jitted (state, batch) -> (state, metrics)."""
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    SGD + sparse_embed_update (the default, reference-parity semantics) routes
+    to the sparse-table-update step; otherwise the dense step below.
+    """
+    from dssm_tpu.train.sparse_update import make_sparse_train_step, uses_sparse_update
+
+    if uses_sparse_update(cfg):
+        return make_sparse_train_step(cfg, impl)
     if impl is None:
         impl = "auto" if cfg.train.use_pallas else "xla"
     tx = make_optimizer(cfg.train)
