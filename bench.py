@@ -2,14 +2,20 @@
 
 Metric (BASELINE.json:2): query-doc pairs/sec/chip at fixed batch — Full DSSM
 shapes (500k trigram vocab, 300-300-128 towers, batch 1024, in-batch
-negatives). Prints ONE JSON line:
+negatives), sparse-update training step with the dedup compact-gather +
+count-matmul lookup. Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference publishes no benchmark numbers (BASELINE.json:13,
-"published": {}), so vs_baseline is measured against this repo's own
-XLA-composition fallback path on the same hardware in the same run —
-i.e. the speedup the Pallas kernel path delivers over the unfused baseline.
+"published": {}), so vs_baseline compares against this repo's own
+XLA-composition fallback on the same hardware in the same run — the speedup
+the Pallas kernel path delivers over the unfused baseline.
+
+Timing notes (hard-won on the axon relay): block_until_ready is unreliable
+here, and the loss alone doesn't depend on the table update — so timings
+force a VALUE fetch of an updated-table element plus the loss, which the
+runtime cannot fake.
 """
 
 import json
@@ -19,16 +25,24 @@ import time
 import numpy as np
 
 
-def _measure(step_fn, state, batch, warmup=3, iters=20):
-    import jax
+def _force(state, aux):
+    import jax.numpy as jnp
 
+    from dssm_tpu.models import base as model_base
+
+    tower = next(iter(state.params))
+    table_key = [k for k in ("W0", "Wc", "Win") if k in state.params[tower]][0]
+    return float(jnp.sum(state.params[tower][table_key][5])) + float(aux["loss"])
+
+
+def _measure(step_fn, state, batch, warmup=2, iters=20):
     for _ in range(warmup):
         state, aux = step_fn(state, batch)
-    jax.block_until_ready(aux["loss"])
+    _force(state, aux)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, aux = step_fn(state, batch)
-    jax.block_until_ready(aux["loss"])
+    _force(state, aux)
     return (time.perf_counter() - t0) / iters
 
 
@@ -37,41 +51,48 @@ def main():
 
     from dssm_tpu.config import get_preset
     from dssm_tpu.data import hash_pairs, make_toy_pairs, select_batch
+    from dssm_tpu.kernels.pallas_gather import sublane_group
     from dssm_tpu.models import base as model_base
     from dssm_tpu.train.loop import make_train_step
     from dssm_tpu.train.state import create_state
 
     platform = jax.devices()[0].platform
     cfg = get_preset("full")
-    batch_size = cfg.train.batch_size
     if platform != "tpu":
         # CPU smoke fallback: smaller shapes so the bench always completes.
         cfg = cfg.replace(
             tower=cfg.tower.replace(vocab_size=50_000, compute_dtype="float32"),
             train=cfg.train.replace(batch_size=256),
         )
-        batch_size = 256
+    batch_size = cfg.train.batch_size
 
     pairs = make_toy_pairs(batch_size, vocab_words=512, seed=0)
     hashed = hash_pairs(pairs, cfg.tower, cfg.data)
-    batch = select_batch(hashed, np.arange(batch_size), False)
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
     params = model_base.init_params(cfg.tower, seed=0)
-    state = create_state(params, cfg.train)
+    table = params[next(iter(params))][model_base.TABLE_KEY[cfg.tower.arch]]
+    batch = select_batch(
+        hashed, np.arange(batch_size), False,
+        dedup_unique=cfg.data.max_unique,
+        dedup_group=sublane_group(table.dtype),
+    )
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    def fresh_state():
+        return create_state(model_base.init_params(cfg.tower, seed=0),
+                            cfg.train)
 
     # Baseline: XLA-composition fallback path.
-    t_xla = _measure(make_train_step(cfg, impl="xla"), state, batch)
+    t_xla = _measure(make_train_step(cfg, impl="xla"), fresh_state(), batch)
     xla_pairs = batch_size / t_xla
 
-    # Kernel path (Pallas on TPU; identical to xla elsewhere).
-    value = xla_pairs
-    t_best = t_xla
+    value, t_best = xla_pairs, t_xla
     if platform == "tpu" and cfg.train.use_pallas:
         try:
-            t_pallas = _measure(make_train_step(cfg, impl="pallas"), state, batch)
+            t_pallas = _measure(make_train_step(cfg, impl="pallas"),
+                                fresh_state(), batch)
             if t_pallas < t_best:
                 t_best = t_pallas
-            value = batch_size / t_best
+                value = batch_size / t_best
         except Exception as e:  # pallas path must never break the bench
             print(f"# pallas path failed, reporting xla: {e}", file=sys.stderr)
 

@@ -147,9 +147,19 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     start_step = int(state.step)
     impl_eval = "xla"  # eval on changing tail shapes: keep XLA fallback
+    profiling = False
     with ctx:
         t_last = time.perf_counter()
         for step in range(start_step, cfg.train.max_steps):
+            # Profiler hook (SURVEY.md §6.1): trace a warm window of steps.
+            if cfg.io.profile_dir and step == start_step + 5 and not profiling:
+                jax.profiler.start_trace(cfg.io.profile_dir)
+                profiling = True
+            if profiling and step == start_step + 10:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile written to {cfg.io.profile_dir}",
+                      file=sys.stderr)
             batch = add_rotation_offsets(next(batches), cfg, step)
             if multi_device:
                 batch = dist.make_global_batch(batch, mesh)

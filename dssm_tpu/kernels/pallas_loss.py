@@ -39,7 +39,8 @@ _NEG_INF = -1e30
 def _pick_tiles(b: int, bg: int) -> Optional[Tuple[int, int]]:
     tr = min(_ROW_TILE, b)
     tc = min(_COL_TILE, bg)
-    if b % tr or bg % tc:
+    # Tiles must also respect TPU alignment: sublane (8) rows, lane (128) cols.
+    if b % tr or bg % tc or tr % 8 or tc % 128:
         return None
     return tr, tc
 
@@ -203,7 +204,7 @@ def _bwd_call(qh, dh, labels, gamma, lse, g, tr, tc):
     )(qh, dh, lab, lse2, g2)
 
     dd = pl.pallas_call(
-        functools.partial(_bwd_dd_kernel, tr=tr, gamma=gamma),
+        functools.partial(_bwd_dd_kernel, gamma, tr),
         grid=(bg // tc, b // tr),  # col blocks outer, row blocks inner
         in_specs=[
             pl.BlockSpec((tr, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),

@@ -1,0 +1,71 @@
+"""Failure recovery (SURVEY.md §6.3): SIGKILL a training process mid-run,
+restart with --resume, and assert the run continues from the last checkpoint
+rather than from scratch."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def _cli(workdir, max_steps):
+    return [
+        sys.executable, "-m", "dssm_tpu.cli.train",
+        "--preset=tiny", "--cpu", "--resume",
+        "--tower.vocab_size=5000", "--tower.embed_width=64",
+        "--tower.hidden_dims=48", "--tower.semantic_dim=32",
+        "--data.toy_num_pairs=512", "--data.max_unique=2048",
+        "--train.batch_size=64", f"--train.max_steps={max_steps}",
+        "--train.checkpoint_every=5", "--train.eval_every=0",
+        "--train.log_every=5", f"--io.workdir={workdir}",
+    ]
+
+
+def test_sigkill_and_resume(tmp_path):
+    workdir = str(tmp_path / "run")
+    proc = subprocess.Popen(_cli(workdir, 400), env=_env(),
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    # Wait until at least one checkpoint lands, then SIGKILL mid-run.
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    deadline = time.time() + 240
+    seen = []
+    while time.time() < deadline:
+        if os.path.isdir(ckpt_dir):
+            seen = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+            if seen:
+                break
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode()
+            raise AssertionError(f"trainer exited early:\n{out[-3000:]}")
+        time.sleep(0.5)
+    assert seen, "no checkpoint appeared within deadline"
+    time.sleep(1.0)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    # Restart with a short remaining budget; it must resume, not start over.
+    out = subprocess.run(_cli(workdir, 30), env=_env(), capture_output=True,
+                         timeout=240)
+    log = out.stdout.decode() + out.stderr.decode()
+    assert out.returncode == 0, log[-3000:]
+    assert "resumed from step" in log, log[-3000:]
+    resumed_step = int(log.split("resumed from step ")[1].split()[0])
+    assert resumed_step >= 5
+
+    # Metrics file shows training records from both incarnations.
+    records = [json.loads(l) for l in
+               open(os.path.join(workdir, "metrics.jsonl"))]
+    train_steps = [r["step"] for r in records if r["tag"] == "train"]
+    assert len(train_steps) >= 2

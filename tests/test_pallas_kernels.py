@@ -1,0 +1,121 @@
+"""Pallas kernels vs their XLA-composition fallbacks, run in interpreter mode
+on CPU (SURVEY.md §5.2: every kernel parity-tested against the fallback).
+Real-TPU execution of the same kernels is exercised by bench.py and was
+validated on hardware; these tests pin the math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from dssm_tpu.kernels.pallas_gather import gather_row_groups, scatter_add_row_groups
+from dssm_tpu.kernels.pallas_loss import in_batch_loss_pallas
+from dssm_tpu.kernels.pallas_tower import dense_tower_pallas
+from dssm_tpu.kernels.tower import dense_tower_xla
+from dssm_tpu.loss.cosine_softmax import in_batch_loss_xla
+
+
+def _unit_rows(rng, n, d):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
+
+
+def test_loss_kernel_forward_matches_xla():
+    rng = np.random.default_rng(0)
+    qh, dh = _unit_rows(rng, 256, 128), _unit_rows(rng, 512, 128)
+    labels = jnp.asarray(rng.integers(0, 512, 256).astype(np.int32))
+    with pltpu.force_tpu_interpret_mode():
+        loss_p, aux_p = in_batch_loss_pallas(qh, dh, 20.0, labels)
+    loss_x, aux_x = in_batch_loss_xla(qh, dh, 20.0, labels)
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    np.testing.assert_allclose(float(aux_p["in_batch_recall@1"]),
+                               float(aux_x["in_batch_recall@1"]), atol=1e-6)
+    np.testing.assert_allclose(float(aux_p["pos_cos"]),
+                               float(aux_x["pos_cos"]), rtol=1e-5)
+
+
+def test_loss_kernel_grads_match_xla():
+    rng = np.random.default_rng(1)
+    qh, dh = _unit_rows(rng, 256, 128), _unit_rows(rng, 256, 128)
+
+    def f_pallas(q, d):
+        return in_batch_loss_pallas(q, d, 20.0)[0]
+
+    def f_xla(q, d):
+        return in_batch_loss_xla(q, d, 20.0)[0]
+
+    # context must span the backward trace too (custom_vjp bwd kernels)
+    with pltpu.force_tpu_interpret_mode():
+        gq_p, gd_p = jax.grad(f_pallas, argnums=(0, 1))(qh, dh)
+    gq_x, gd_x = jax.grad(f_xla, argnums=(0, 1))(qh, dh)
+    np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_x),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_x),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_loss_kernel_falls_back_on_odd_batch():
+    rng = np.random.default_rng(2)
+    qh, dh = _unit_rows(rng, 100, 128), _unit_rows(rng, 100, 128)  # 100 % 256 != 0
+    loss_p, _ = in_batch_loss_pallas(qh, dh, 20.0)  # silently uses XLA path
+    loss_x, _ = in_batch_loss_xla(qh, dh, 20.0)
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-6)
+
+
+@pytest.mark.parametrize("activation", ["tanh", "relu"])
+def test_tower_kernel_matches_xla(activation):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(256, 300)).astype(np.float32))
+    layers = [
+        (jnp.asarray(rng.normal(size=(300, 300)).astype(np.float32) * 0.05),
+         jnp.asarray(rng.normal(size=(300,)).astype(np.float32) * 0.05)),
+        (jnp.asarray(rng.normal(size=(300, 128)).astype(np.float32) * 0.05),
+         jnp.asarray(rng.normal(size=(128,)).astype(np.float32) * 0.05)),
+    ]
+    with pltpu.force_tpu_interpret_mode():
+        y_p = dense_tower_pallas(x, layers, activation, normalize=True)
+    y_x = dense_tower_xla(x, layers, activation, normalize=True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tower_kernel_grads_match_xla():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+    layers = [
+        (jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32) * 0.1),
+         jnp.asarray(np.zeros(32, np.float32))),
+    ]
+
+    def f_pallas(x, w, b):
+        return dense_tower_pallas(x, [(w, b)], "tanh", True).sum()
+
+    def f_xla(x, w, b):
+        return dense_tower_xla(x, [(w, b)], "tanh", True).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(f_pallas, argnums=(0, 1, 2))(x, *layers[0])
+    gx = jax.grad(f_xla, argnums=(0, 1, 2))(x, *layers[0])
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_gather_scatter_kernels_interpret():
+    rng = np.random.default_rng(5)
+    v, h, g, grp = 256, 128, 8, 8
+    table = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    gids = jnp.asarray(rng.choice(v // grp, size=g, replace=False).astype(np.int32))
+    rows = (np.asarray(gids)[:, None] * grp + np.arange(grp)[None, :]).reshape(-1)
+
+    out = gather_row_groups(table, gids, grp, interpret=True, groups_per_step=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table)[rows],
+                               rtol=1e-6)
+
+    vals = jnp.asarray(rng.normal(size=(g * grp, h)).astype(np.float32))
+    updated = scatter_add_row_groups(table, gids, vals, grp, interpret=True,
+                                     groups_per_step=4)
+    ref = np.asarray(table).copy()
+    ref[rows] += np.asarray(vals)
+    np.testing.assert_allclose(np.asarray(updated), ref, rtol=1e-6)

@@ -1,0 +1,84 @@
+"""Multi-host worker for the faked multi-host test (SURVEY.md §5.3) and a
+runnable demo of the multi-host path: N processes x M virtual CPU devices,
+jax.distributed over a local coordinator, global negative pool across all
+N*M devices, global-batch dedupe, per-host data sharding.
+
+    python tools/multihost_worker.py <coordinator> <num_procs> <proc_id> \
+        <devices_per_proc> <steps> <out_json>
+
+Writes {"losses": [...]} to out_json.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    coordinator, num_procs, proc_id, dev_per_proc, steps, out_path = sys.argv[1:7]
+    num_procs, proc_id = int(num_procs), int(proc_id)
+    dev_per_proc, steps = int(dev_per_proc), int(steps)
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={dev_per_proc}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_procs,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == num_procs
+    assert len(jax.devices()) == num_procs * dev_per_proc
+
+    import numpy as np
+
+    from dssm_tpu.config import (
+        DataConfig, LossConfig, MeshConfig, RunConfig, TowerConfig, TrainConfig,
+    )
+    from dssm_tpu.data import batch_iterator, hash_pairs, make_toy_pairs
+    from dssm_tpu.models import base as model_base
+    from dssm_tpu.parallel import dist
+    from dssm_tpu.parallel.mesh import make_mesh
+    from dssm_tpu.parallel.train_step import (
+        create_sharded_state, make_parallel_train_step,
+    )
+
+    cfg = RunConfig(
+        name="mh-test",
+        tower=TowerConfig(vocab_size=4096, embed_width=32, hidden_dims=(24,),
+                          semantic_dim=16),
+        data=DataConfig(max_trigrams=32, max_unique=1024),
+        loss=LossConfig(mode="in_batch"),
+        mesh=MeshConfig(data_parallel=-1, model_parallel=1),
+        train=TrainConfig(batch_size=32, learning_rate=0.02, use_pallas=False),
+    )
+    pairs = make_toy_pairs(256, vocab_words=64, seed=7)
+    hashed = hash_pairs(pairs, cfg.tower, cfg.data)
+    batches = batch_iterator(
+        hashed, cfg.train.batch_size, seed=5,
+        process_index=proc_id, process_count=num_procs,
+        dedup_unique=cfg.data.max_unique,
+    )
+    mesh = make_mesh(cfg.mesh)
+    params = model_base.init_params(cfg.tower, seed=0)
+    state = create_sharded_state(cfg, mesh, params)
+    step_fn = make_parallel_train_step(cfg, mesh, impl="xla")
+
+    losses = []
+    with mesh:
+        for _ in range(steps):
+            batch = dist.make_global_batch(next(batches), mesh)
+            state, aux = step_fn(state, batch)
+            losses.append(float(aux["loss"]))
+
+    with open(out_path, "w") as fh:
+        json.dump({"losses": losses, "proc": proc_id}, fh)
+    print(f"proc {proc_id} done: {losses}")
+
+
+if __name__ == "__main__":
+    main()
