@@ -74,6 +74,7 @@ def main():
         hashed, np.arange(batch_size), False,
         dedup_unique=cfg.data.max_unique,
         dedup_group=sublane_group(table.dtype),
+        dedup_unique_rows=cfg.data.max_unique_rows,
     )
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 

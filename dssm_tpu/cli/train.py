@@ -122,7 +122,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         process_count=jax.process_count(),
         dedup_unique=cfg.data.max_unique if dedup else None,
         dedup_group=sublane_group(table_dtype),
+        dedup_unique_rows=cfg.data.max_unique_rows,
     )
+    from dssm_tpu.data import prefetch
+
+    batches = prefetch(batches, depth=2)
 
     writer = MetricsWriter(f"{cfg.io.workdir}/{cfg.io.metrics_file}")
     ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)

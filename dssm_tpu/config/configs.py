@@ -67,6 +67,9 @@ class DataConfig(_Replaceable):
     # U: compact rows per batch (static). Rows are gathered in sublane GROUPS
     # (8 for f32 tables), so budget ~8x the expected distinct-trigram count.
     max_unique: int = 8192
+    # U2: exact unique-row slots (count-matrix width, two-level dedupe).
+    # Budget ~= the expected distinct-trigram count per batch.
+    max_unique_rows: int = 1024
     toy_vocab_words: int = 512  # toy dataset: word vocabulary size
     toy_num_pairs: int = 4096  # toy dataset: number of query-title pairs
     seed: int = 0

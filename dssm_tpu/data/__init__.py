@@ -5,6 +5,7 @@ from dssm_tpu.data.loader import (  # noqa: F401
     batch_iterator,
     eval_batches,
     hash_pairs,
+    prefetch,
     select_batch,
 )
 from dssm_tpu.data.toy import ToyPairs, make_toy_pairs, train_eval_split  # noqa: F401

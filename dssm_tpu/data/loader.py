@@ -66,18 +66,24 @@ def hash_pairs(pairs: ToyPairs, tower: TowerConfig, data: DataConfig) -> HashedP
     return out
 
 
-def add_dedup_fields(batch: Batch, max_unique: int, group: int = 8) -> Batch:
-    """Per-batch index dedupe for the compact-gather + count-matmul lookup
-    (kernels/dedup_embed.py). Adds {q,d}_uniq (row-GROUP ids) / {q,d}_inv
-    (compact row per lookup); dropped-overflow slots get weights zeroed.
-    `group` must be the sublane group of the table dtype (8 f32 / 16 bf16,
-    kernels.pallas_gather.sublane_group)."""
-    from dssm_tpu.kernels.dedup_embed import dedupe_indices
+def add_dedup_fields(batch: Batch, max_unique: int, group: int = 8,
+                     max_unique_rows: Optional[int] = None) -> Batch:
+    """Per-batch two-level index dedupe for the compact-gather + count-matmul
+    lookup (kernels/dedup_embed.py). Adds {q,d}_uniq (row-GROUP ids),
+    {q,d}_sel (unique-row slots), {q,d}_inv (slot per lookup);
+    dropped-overflow slots get weights zeroed. `group` must be the sublane
+    group of the table dtype (8 f32 / 16 bf16)."""
+    from dssm_tpu.kernels.dedup_embed import dedupe_two_level
 
+    if max_unique_rows is None:
+        max_unique_rows = max(256, max_unique // 8)
     out = dict(batch)
     for side in ("q", "d"):
-        uniq, inv, keep = dedupe_indices(batch[f"{side}_idx"], max_unique, group)
+        uniq, sel, inv, keep = dedupe_two_level(
+            batch[f"{side}_idx"], max_unique, max_unique_rows, group
+        )
         out[f"{side}_uniq"] = uniq
+        out[f"{side}_sel"] = sel
         out[f"{side}_inv"] = inv
         if not np.all(keep == 1.0):
             out[f"{side}_wgt"] = batch[f"{side}_wgt"] * keep
@@ -90,6 +96,7 @@ def select_batch(
     sequence: bool,
     dedup_unique: Optional[int] = None,
     dedup_group: int = 8,
+    dedup_unique_rows: Optional[int] = None,
 ) -> Batch:
     if sequence:
         batch = {
@@ -108,7 +115,8 @@ def select_batch(
             "d_wgt": hashed.d_wgt[rows],
         }
     if dedup_unique:
-        batch = add_dedup_fields(batch, dedup_unique, dedup_group)
+        batch = add_dedup_fields(batch, dedup_unique, dedup_group,
+                                 dedup_unique_rows)
     return batch
 
 
@@ -122,6 +130,7 @@ def batch_iterator(
     drop_remainder: bool = True,
     dedup_unique: Optional[int] = None,
     dedup_group: int = 8,
+    dedup_unique_rows: Optional[int] = None,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -149,26 +158,60 @@ def batch_iterator(
                 # seed, same permutation) so the *_uniq fields are truly
                 # replicated across hosts; then slice this host's batch shard.
                 gbatch = select_batch(hashed, rows, sequence, dedup_unique,
-                                      dedup_group)
+                                      dedup_group, dedup_unique_rows)
                 lo = process_index * local
                 yield {
-                    k: (v if k.endswith("_uniq") else v[lo : lo + local])
+                    k: (v if k.endswith(("_uniq", "_sel"))
+                        else v[lo : lo + local])
                     for k, v in gbatch.items()
                 }
             else:
                 shard = rows[process_index * local : (process_index + 1) * local]
                 yield select_batch(hashed, shard, sequence, dedup_unique,
-                                   dedup_group)
+                                   dedup_group, dedup_unique_rows)
         epoch += 1
+
+
+def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+    """Run the host-side batch pipeline (slicing + dedupe) in a background
+    thread so it overlaps device steps. The C++ hashing path releases the GIL
+    (native/dssm_native.cpp), so the overlap is real."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for item in iterator:
+                if stop.is_set():
+                    return
+                q.put(item)
+        finally:
+            q.put(None)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def eval_batches(
     hashed: HashedPairs, batch: int, sequence: bool = False,
     dedup_unique: Optional[int] = None, dedup_group: int = 8,
+    dedup_unique_rows: Optional[int] = None,
 ) -> Iterator[Batch]:
     """One pass over the eval corpus in order, including the ragged tail
     (a tail batch costs one extra jit specialization in eval — fine)."""
     n = len(hashed)
     for start in range(0, n, batch):
         rows = np.arange(start, min(start + batch, n))
-        yield select_batch(hashed, rows, sequence, dedup_unique, dedup_group)
+        yield select_batch(hashed, rows, sequence, dedup_unique, dedup_group,
+                           dedup_unique_rows)

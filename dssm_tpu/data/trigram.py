@@ -123,7 +123,15 @@ def hash_text_sequence(
 def hash_batch(
     texts: Sequence[str], vocab_size: int, max_trigrams: int, normalize: bool = False
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Vectorized over a batch of texts -> (indices[B, K], weights[B, K])."""
+    """Vectorized over a batch of texts -> (indices[B, K], weights[B, K]).
+
+    Uses the C++ data-plane (dssm_tpu/data/native.py) when available —
+    bit-exact with the Python path below (tests/test_native.py)."""
+    from dssm_tpu.data import native
+
+    fast = native.hash_batch(texts, vocab_size, max_trigrams, normalize)
+    if fast is not None:
+        return fast
     n = len(texts)
     idx = np.full((n, max_trigrams), PAD_INDEX, dtype=np.int32)
     wgt = np.zeros((n, max_trigrams), dtype=np.float32)
@@ -139,6 +147,13 @@ def hash_batch_sequence(
     max_trigrams_per_word: int,
     normalize: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from dssm_tpu.data import native
+
+    fast = native.hash_batch_sequence(
+        texts, vocab_size, max_words, max_trigrams_per_word, normalize
+    )
+    if fast is not None:
+        return fast
     n = len(texts)
     idx = np.full((n, max_words, max_trigrams_per_word), PAD_INDEX, dtype=np.int32)
     wgt = np.zeros((n, max_words, max_trigrams_per_word), dtype=np.float32)

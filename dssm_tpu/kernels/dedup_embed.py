@@ -79,6 +79,56 @@ def dedupe_indices(
     )
 
 
+def dedupe_two_level(
+    idx: np.ndarray, g_cap_rows: int, u2_cap: int, group: int = 8
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Two-level host dedupe: DMA-aligned row GROUPS + exact unique ROWS.
+
+    Level 1 (groups) keeps the compact gather/scatter tile-aligned; level 2
+    shrinks the count-matrix width from g_cap_rows (~8x diluted: one used row
+    per group for hash-random ids) down to the ACTUAL unique-row count, making
+    the on-device count build ~8x cheaper. The row selection compact2 =
+    compact[row_sel] is itself a one-hot-select matmul on device — no gather.
+
+    Returns:
+      uniq_groups [g_cap_rows // group] int32 — as dedupe_indices
+      row_sel     [u2_cap] int32 — compact-row index of each unique vocab row
+                  (padded with 0)
+      inv2        same shape as idx, int32 in [0, u2_cap) — unique-row slot
+                  per lookup
+      keep_mask   same shape, f32 — 0 where a lookup overflowed either cap
+    """
+    uniq_groups, inv, keep = dedupe_indices(idx, g_cap_rows, group)
+    flat_inv = inv.reshape(-1)
+    flat_keep = keep.reshape(-1)
+    # Unique over kept compact-row ids only.
+    kept_rows = flat_inv[flat_keep > 0]
+    uniq_rows, _ = np.unique(kept_rows, return_inverse=True)
+    n = uniq_rows.shape[0]
+    if n > u2_cap:
+        counts = np.bincount(
+            np.searchsorted(uniq_rows, kept_rows), minlength=n
+        )
+        keep_idx = np.argsort(-counts, kind="stable")[:u2_cap]
+        keep_idx.sort()
+        uniq_rows = uniq_rows[keep_idx]
+        n = u2_cap
+    # Map every lookup's compact-row id to its slot (or drop).
+    pos = np.searchsorted(uniq_rows, flat_inv)
+    pos = np.clip(pos, 0, n - 1)
+    hit = (uniq_rows[pos] == flat_inv) & (flat_keep > 0)
+    inv2 = np.where(hit, pos, 0).astype(np.int32)
+    keep2 = hit.astype(np.float32)
+    row_sel = np.zeros((u2_cap,), dtype=np.int32)
+    row_sel[:n] = uniq_rows
+    return (
+        uniq_groups,
+        row_sel,
+        inv2.reshape(idx.shape),
+        keep2.reshape(idx.shape),
+    )
+
+
 def count_matrix(
     inv: jax.Array, wgt: jax.Array, u: int, dtype=jnp.float32
 ) -> jax.Array:
@@ -105,17 +155,35 @@ def lookup_from_compact(
     inv: jax.Array,
     wgt: jax.Array,
     compute_dtype=jnp.float32,
+    row_sel: Optional[jax.Array] = None,
 ) -> jax.Array:
     """out[...] = sum_k wgt[..., k] * compact[inv[..., k]] via count @ compact.
 
-    Differentiable in `compact` (linear — XLA autodiff emits count.T @ g,
-    another MXU matmul). inv/wgt are data.
+    With row_sel (two-level dedupe): inv indexes the U2 unique-row slots and
+    compact2 = compact[row_sel] is formed by a one-hot-select MATMUL (one
+    compare per (slot, compact-row) — ~10x cheaper than widening the count
+    matrix to the full group-diluted compact width).
+
+    Differentiable in `compact` (linear — XLA autodiff emits the transposed
+    matmuls). inv/wgt/row_sel are data.
     """
-    u, h = compact.shape
-    cnt = count_matrix(inv, wgt, u, dtype=compute_dtype)
+    gr, h = compact.shape
+    if row_sel is not None:
+        u2 = row_sel.shape[0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (u2, gr), 1)
+        sel_oh = jax.lax.stop_gradient(
+            (row_sel[:, None] == cols).astype(compute_dtype)
+        )
+        compact2 = jnp.dot(sel_oh, compact.astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+        compact2 = compact2.astype(compute_dtype)
+        width = u2
+    else:
+        compact2 = compact.astype(compute_dtype)
+        width = gr
+    cnt = count_matrix(inv, wgt, width, dtype=compute_dtype)
     cnt = jax.lax.stop_gradient(cnt)
-    out = jnp.dot(cnt, compact.astype(compute_dtype),
-                  preferred_element_type=jnp.float32)
+    out = jnp.dot(cnt, compact2, preferred_element_type=jnp.float32)
     return out.reshape(*inv.shape[:-1], h)
 
 
@@ -185,7 +253,8 @@ def dedup_embedding_bag(
     compute_dtype=jnp.float32,
     group: int = 8,
     impl: str = "xla",
+    row_sel: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full fwd path: gather compact row-groups then count-matmul."""
     compact = gather_compact(table, uniq_groups, group, impl=impl)
-    return lookup_from_compact(compact, inv, wgt, compute_dtype)
+    return lookup_from_compact(compact, inv, wgt, compute_dtype, row_sel)

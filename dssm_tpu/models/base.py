@@ -74,6 +74,7 @@ def bag_lookup(
             jnp.dtype(cfg.compute_dtype),
             group=sublane_group(table.dtype),
             impl=impl,
+            row_sel=batch.get(f"{prefix}_sel"),
         )
     else:
         out = embedding_bag(

@@ -74,7 +74,7 @@ def make_global_batch(batch, mesh):
 
     out = {}
     for k, v in batch.items():
-        if k == "rot_offsets" or k.endswith("_uniq"):
+        if k == "rot_offsets" or k.endswith("_uniq") or k.endswith("_sel"):
             sharding = NamedSharding(mesh, P())
             out[k] = jax.make_array_from_process_local_data(sharding, v)
         else:

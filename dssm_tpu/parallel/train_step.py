@@ -63,7 +63,8 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     # rot_offsets ([NEG]) and the dedup unique-row lists ([U]) are not
     # batch-dim data — replicate them.
     def pick(k):
-        return rep if (k == "rot_offsets" or k.endswith("_uniq")) else sh
+        return rep if (k == "rot_offsets" or k.endswith("_uniq")
+                       or k.endswith("_sel")) else sh
 
     return {k: jax.device_put(v, pick(k)) for k, v in batch.items()}
 

@@ -124,3 +124,43 @@ def test_dedup_train_step_matches_plain(arch):
                 np.asarray(s1.params[tower][k]), np.asarray(s2.params[tower][k]),
                 rtol=1e-4, atol=1e-6, err_msg=f"{tower}/{k}",
             )
+
+
+def test_dedupe_two_level_roundtrip():
+    from dssm_tpu.kernels.dedup_embed import dedupe_two_level
+
+    idx = np.array([[5, 9, 5, 0], [9, 2, 0, 0]], dtype=np.int32)
+    uniq_g, row_sel, inv2, keep = dedupe_two_level(idx, 16, 8, group=8)
+    assert (keep == 1.0).all()
+    # compact row = row_sel[inv2]; vocab row = uniq_g[row // 8] * 8 + row % 8
+    rows = row_sel[inv2]
+    np.testing.assert_array_equal(uniq_g[rows // 8] * 8 + rows % 8, idx)
+
+
+def test_dedupe_two_level_row_overflow():
+    from dssm_tpu.kernels.dedup_embed import dedupe_two_level
+
+    idx = np.array([1, 1, 1, 2, 2, 3, 4, 5], dtype=np.int32)  # 5 unique rows
+    uniq_g, row_sel, inv2, keep = dedupe_two_level(idx, 8, 3, group=8)
+    assert keep.sum() == 6.0  # rows 1,2 (freq 3+2) + one more survive
+    rows = row_sel[inv2[keep == 1.0]]
+    recon = uniq_g[rows // 8] * 8 + rows % 8
+    np.testing.assert_array_equal(recon, idx[keep == 1.0])
+
+
+def test_two_level_lookup_matches_plain_bag():
+    from dssm_tpu.kernels.dedup_embed import dedupe_two_level, gather_compact
+
+    rng = np.random.default_rng(7)
+    v, h = 200, 16
+    table = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    idx = rng.integers(0, v, size=(8, 5)).astype(np.int32)
+    wgt = rng.uniform(0, 2, size=(8, 5)).astype(np.float32)
+    uniq_g, row_sel, inv2, keep = dedupe_two_level(idx, 200, 48, group=8)
+    assert (keep == 1.0).all()
+    compact = gather_compact(table, jnp.asarray(uniq_g), 8)
+    out = lookup_from_compact(compact, jnp.asarray(inv2), jnp.asarray(wgt),
+                              row_sel=jnp.asarray(row_sel))
+    ref = embedding_bag_xla(table, jnp.asarray(idx), jnp.asarray(wgt))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
