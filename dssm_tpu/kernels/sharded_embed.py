@@ -43,6 +43,59 @@ def current_context() -> Optional[Tuple[Mesh, str, str, str]]:
     return getattr(_CTX, "value", None)
 
 
+def scatter_add_groups_sharded(
+    table: jax.Array,
+    uniq_groups: jax.Array,
+    vals: jax.Array,
+    mesh: Mesh,
+    group: int,
+    model_axis: str = "model",
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Row-group scatter-add into a vocab-sharded table [V, H] P(model, None).
+
+    Each 'model' shard adds the updates for groups it owns (others masked to
+    zero). vals [G*group, H] and uniq_groups [G] are replicated. The sparse
+    analogue of the dense grad psum: every shard sees the full (already
+    psum-reduced) compact gradient and applies only its slice.
+    """
+    mp = mesh.shape[model_axis]
+    v = table.shape[0]
+    groups_per_shard = (v // mp) // group
+
+    def local_fn(tbl, gids, lvals):
+        shard = jax.lax.axis_index(model_axis)
+        lo = shard * groups_per_shard
+        rel = gids - lo
+        owned = (rel >= 0) & (rel < groups_per_shard)
+        rel = jnp.clip(rel, 0, groups_per_shard - 1)
+        g = gids.shape[0]
+        masked = lvals.reshape(g, group, -1) * owned[:, None, None].astype(
+            lvals.dtype
+        )
+        if use_pallas:
+            from dssm_tpu.kernels.pallas_gather import scatter_add_row_groups
+
+            # Not-owned groups scatter zeros into their clipped-local slot —
+            # a wasted but harmless RMW; uniqueness still holds per slot
+            # because clipping maps distinct gids onto boundary groups only
+            # with zero values.
+            return scatter_add_row_groups(
+                tbl, rel, masked.reshape(g * group, -1), group
+            )
+        rows = (rel[:, None] * group
+                + jnp.arange(group, dtype=rel.dtype)[None, :]).reshape(-1)
+        return tbl.at[rows].add(masked.reshape(g * group, -1).astype(tbl.dtype))
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(model_axis, None), P(), P()),
+        out_specs=P(model_axis, None),
+        check_vma=False,
+    )(table, uniq_groups, vals)
+
+
 def embedding_bag_sharded(
     table: jax.Array,
     idx: jax.Array,

@@ -1,0 +1,135 @@
+"""SPMD sparse-update train step: the multihost preset's real configuration.
+
+Combines the three big design pieces under one jitted, mesh-aware step
+(BASELINE.json:11 — sharded embedding table + global negative pool):
+
+  - two-level dedup compact lookup (kernels/dedup_embed.py); under vocab
+    sharding the compact gather is a shard_map local-gather + psum
+  - DP towers with the all-gather global negative pool (XLA-derived from
+    sharding annotations, as in parallel/train_step.py)
+  - sparse table updates: the replicated compact gradient (XLA psums it over
+    'data' automatically) is scatter-added shard-locally over 'model'
+    (kernels/sharded_embed.scatter_add_groups_sharded), donated in place
+
+Dense params stay replicated with optax; exact-SGD semantics match the
+single-device sparse step (tests/test_parallel_sparse.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dssm_tpu.config import RunConfig
+from dssm_tpu.kernels.dedup_embed import (
+    expand_group_rows,
+    gather_compact,
+    lookup_from_compact,
+)
+from dssm_tpu.kernels.pallas_gather import scatter_add_row_groups, sublane_group
+from dssm_tpu.kernels.sharded_embed import (
+    scatter_add_groups_sharded,
+    sharded_lookup_context,
+)
+from dssm_tpu.loss.cosine_softmax import in_batch_loss, rotate_loss
+from dssm_tpu.models import base as model_base
+from dssm_tpu.models.base import TABLE_KEY
+from dssm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from dssm_tpu.train.sparse_update import _dense_subtree
+from dssm_tpu.train.state import TrainState, make_optimizer
+
+
+def make_parallel_sparse_train_step(
+    cfg: RunConfig, mesh: Mesh, impl: Optional[str] = None
+) -> Callable:
+    """Requires dedup batches ({q,d}_uniq/_sel/_inv). Call under `mesh`."""
+    if impl is None:
+        impl = "auto" if cfg.train.use_pallas else "xla"
+    table_key = TABLE_KEY[cfg.tower.arch]
+    tx = make_optimizer(cfg.train)
+    lr = cfg.train.learning_rate
+    compute_dtype = jnp.dtype(cfg.tower.compute_dtype)
+    mp = cfg.mesh.model_parallel
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_pallas_scatter = impl in ("pallas", "auto") and on_tpu
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    def tab(params, side):
+        tower = "shared" if "shared" in params else (
+            "query" if side == "q" else "doc")
+        return params[tower][table_key]
+
+    def loss_from_compacts(dense_params, cq, cd, batch):
+        lq = lookup_from_compact(cq, batch["q_inv"], batch["q_wgt"],
+                                 compute_dtype,
+                                 batch.get("q_sel")).astype(compute_dtype)
+        ld = lookup_from_compact(cd, batch["d_inv"], batch["d_wgt"],
+                                 compute_dtype,
+                                 batch.get("d_sel")).astype(compute_dtype)
+        q = model_base.embed_from_lookup(dense_params, cfg.tower, "q", batch,
+                                         lq, impl=impl)
+        d = model_base.embed_from_lookup(dense_params, cfg.tower, "d", batch,
+                                         ld, impl=impl)
+        # Towers stay batch-sharded; the q @ d.T inside the loss makes XLA
+        # all-gather d over 'data' — the global negative pool.
+        q = jax.lax.with_sharding_constraint(q, batch_sh)
+        d = jax.lax.with_sharding_constraint(d, batch_sh)
+        if cfg.loss.mode == "rotate":
+            return rotate_loss(q, d, batch["rot_offsets"], cfg.loss.gamma)
+        return in_batch_loss(q, d, cfg.loss.gamma, impl=impl)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        params = state.params
+        dense = _dense_subtree(params, table_key)
+        group = sublane_group(tab(params, "q").dtype)
+
+        def gather(side):
+            table = tab(params, side)
+            if mp > 1:
+                with sharded_lookup_context(mesh, MODEL_AXIS, DATA_AXIS,
+                                            impl if impl != "auto" else "xla"):
+                    return gather_compact(table, batch[f"{side}_uniq"], group,
+                                          impl=impl)
+            return gather_compact(table, batch[f"{side}_uniq"], group,
+                                  impl=impl)
+
+        cq, cd = gather("q"), gather("d")
+        (loss, aux), (g_dense, g_cq, g_cd) = jax.value_and_grad(
+            loss_from_compacts, argnums=(0, 1, 2), has_aux=True
+        )(dense, cq, cd, batch)
+
+        updates, new_opt = tx.update(g_dense, state.opt_state, dense)
+        new_dense = optax.apply_updates(dense, updates)
+
+        new_params = {}
+        for tower in params:
+            tp = dict(new_dense[tower])
+            table = params[tower][table_key]
+            sides = {"shared": ("q", "d"), "query": ("q",), "doc": ("d",)}[tower]
+            for side in sides:
+                g_c = g_cq if side == "q" else g_cd
+                vals = (-lr * g_c).astype(table.dtype)
+                if mp > 1:
+                    table = scatter_add_groups_sharded(
+                        table, batch[f"{side}_uniq"], vals, mesh, group,
+                        use_pallas=use_pallas_scatter,
+                    )
+                elif use_pallas_scatter:
+                    table = scatter_add_row_groups(
+                        table, batch[f"{side}_uniq"], vals, group
+                    )
+                else:
+                    rows = expand_group_rows(batch[f"{side}_uniq"], group)
+                    table = table.at[rows].add(vals)
+            tp[table_key] = table
+            new_params[tower] = tp
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt), aux
+
+    return step

@@ -91,7 +91,33 @@ def make_parallel_train_step(
     `global_batch` is a dict of GLOBAL logical arrays (each host passes its
     process-local shard under jax.make_array_from_process_local_data in the
     multi-host driver; single-host tests pass full arrays sharded P('data')).
+
+    With sparse updates + dedup lookups enabled (the defaults for SGD), this
+    dispatches to the sparse SPMD step (parallel/sparse_step.py), which
+    requires dedup batch fields.
     """
+    from dssm_tpu.train.sparse_update import uses_sparse_update
+
+    if uses_sparse_update(cfg) and cfg.data.dedup_lookup:
+        from dssm_tpu.parallel.sparse_step import make_parallel_sparse_train_step
+
+        sparse_step = make_parallel_sparse_train_step(cfg, mesh, impl)
+        dense_step = _make_dense_parallel_step(cfg, mesh, impl)
+
+        def dispatch(state, batch):
+            # Batch structure is static per jit trace: dedup batches take the
+            # sparse SPMD step, plain batches the dense one.
+            if "q_uniq" in batch:
+                return sparse_step(state, batch)
+            return dense_step(state, batch)
+
+        return dispatch
+    return _make_dense_parallel_step(cfg, mesh, impl)
+
+
+def _make_dense_parallel_step(
+    cfg: RunConfig, mesh: Mesh, impl: Optional[str] = None
+) -> Callable:
     if impl is None:
         impl = "auto" if cfg.train.use_pallas else "xla"
     tx = make_optimizer(cfg.train)

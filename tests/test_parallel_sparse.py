@@ -1,0 +1,91 @@
+"""Sparse SPMD step (parallel/sparse_step.py): dedup + sparse updates under
+the mesh must match the single-device sparse step, for pure DP and for
+vocab-sharded tables (the multihost preset configuration)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dssm_tpu.config import (
+    DataConfig, LossConfig, MeshConfig, RunConfig, TowerConfig, TrainConfig,
+)
+from dssm_tpu.data import loader, toy
+from dssm_tpu.models import base as mb
+from dssm_tpu.parallel import mesh as mesh_lib
+from dssm_tpu.parallel.train_step import (
+    create_sharded_state, make_parallel_train_step, shard_batch,
+)
+from dssm_tpu.train.loop import make_train_step
+from dssm_tpu.train.state import create_state
+
+B = 64
+
+
+def _cfg(dp=-1, mp=1):
+    return RunConfig(
+        tower=TowerConfig(vocab_size=4096, embed_width=32, hidden_dims=(24,),
+                          semantic_dim=16),
+        data=DataConfig(max_trigrams=32, max_unique=2048, max_unique_rows=512),
+        loss=LossConfig(mode="in_batch"),
+        mesh=MeshConfig(data_parallel=dp, model_parallel=mp),
+        train=TrainConfig(batch_size=B, learning_rate=0.1, use_pallas=False),
+    )
+
+
+def _batch(cfg):
+    pairs = toy.make_toy_pairs(B, vocab_words=64, seed=13)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    return loader.select_batch(
+        hashed, np.arange(B), False,
+        dedup_unique=cfg.data.max_unique,
+        dedup_unique_rows=cfg.data.max_unique_rows,
+    )
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
+def test_parallel_sparse_matches_single_device(dp, mp):
+    cfg = _cfg(dp, mp)
+    batch = _batch(cfg)
+    assert "q_uniq" in batch and "q_sel" in batch
+
+    # Reference: single-device sparse step on the same dedup batch.
+    ref_state = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    ref_step = make_train_step(cfg, impl="xla")
+    ref_losses = []
+    for _ in range(3):
+        ref_state, aux = ref_step(ref_state, batch)
+        ref_losses.append(float(aux["loss"]))
+
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    state = create_sharded_state(cfg, mesh, mb.init_params(cfg.tower, seed=0))
+    step = make_parallel_train_step(cfg, mesh, impl="xla")
+    sbatch = shard_batch(batch, mesh)
+    losses = []
+    with mesh:
+        for _ in range(3):
+            state, aux = step(state, sbatch)
+            losses.append(float(aux["loss"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5, atol=1e-6)
+
+    # Tables end up identical (modulo scatter order) and keep their sharding.
+    for tower in state.params:
+        got = np.asarray(state.params[tower]["W0"])
+        want = np.asarray(ref_state.params[tower]["W0"])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    if mp > 1:
+        spec = state.params["shared"]["W0"].sharding.spec
+        assert len(spec) >= 1 and spec[0] == "model", spec
+
+
+def test_dispatch_plain_batch_uses_dense_step():
+    cfg = _cfg(8, 1)
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    pairs = toy.make_toy_pairs(B, vocab_words=64, seed=13)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    plain = loader.select_batch(hashed, np.arange(B), False)  # no dedup fields
+    state = create_sharded_state(cfg, mesh, mb.init_params(cfg.tower, seed=0))
+    step = make_parallel_train_step(cfg, mesh, impl="xla")
+    with mesh:
+        state, aux = step(state, shard_batch(plain, mesh))
+    assert np.isfinite(float(aux["loss"]))
