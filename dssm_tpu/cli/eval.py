@@ -34,7 +34,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     from dssm_tpu.io.checkpoint import Checkpointer
     from dssm_tpu.models import base as model_base
     from dssm_tpu.train.eval import evaluate
-    from dssm_tpu.train.state import create_state
+    from dssm_tpu.train.state import create_run_state
 
     cfg = coerce_overrides(get_preset(preset), raw_overrides)
     pairs = make_toy_pairs(cfg.data.toy_num_pairs, cfg.data.toy_vocab_words,
@@ -43,7 +43,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     hashed_eval = hash_pairs(eval_pairs, cfg.tower, cfg.data)
 
     params = model_base.init_params(cfg.tower, seed=cfg.train.seed)
-    state = create_state(params, cfg.train)
+    state = create_run_state(cfg, params)
     ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)
     restored = ckpt.restore(state)
     if restored is None:

@@ -91,7 +91,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     from dssm_tpu.train.eval import evaluate
     from dssm_tpu.train.loop import add_rotation_offsets, make_train_step
-    from dssm_tpu.train.state import create_state
+    from dssm_tpu.train.state import create_run_state
     from dssm_tpu.train.sparse_update import uses_sparse_update
 
     dist.initialize()
@@ -139,7 +139,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     else:
         import contextlib
 
-        state = create_state(params, cfg.train)
+        state = create_run_state(cfg, params)
         step_fn = make_train_step(cfg)
         ctx = contextlib.nullcontext()
 

@@ -126,6 +126,12 @@ class TrainConfig(_Replaceable):
     # Row-wise sparse table updates (reference parity: TF IndexedSlices).
     # Exact for SGD; momentum/adam use the dense step regardless.
     sparse_embed_update: bool = True
+    # Table-specific optimizer for the sparse path: "sgd" (reference parity)
+    # or "adagrad" (row-wise AdaGrad, the production embedding-table standard;
+    # the per-row accumulator is stored in the table's spare lane-padding
+    # column so optimizer state rides the same DMA gather/scatter).
+    table_optimizer: str = "sgd"
+    table_adagrad_eps: float = 1e-6
 
 
 @dataclass(frozen=True)

@@ -40,7 +40,7 @@ from dssm_tpu.loss.cosine_softmax import in_batch_loss, rotate_loss
 from dssm_tpu.models import base as model_base
 from dssm_tpu.models.base import TABLE_KEY
 from dssm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from dssm_tpu.train.sparse_update import _dense_subtree
+from dssm_tpu.train.sparse_update import _dense_subtree, table_update_vals
 from dssm_tpu.train.state import TrainState, make_optimizer
 
 
@@ -114,7 +114,8 @@ def make_parallel_sparse_train_step(
             sides = {"shared": ("q", "d"), "query": ("q",), "doc": ("d",)}[tower]
             for side in sides:
                 g_c = g_cq if side == "q" else g_cd
-                vals = (-lr * g_c).astype(table.dtype)
+                compact = cq if side == "q" else cd
+                vals = table_update_vals(cfg, g_c, compact).astype(table.dtype)
                 if mp > 1:
                     table = scatter_add_groups_sharded(
                         table, batch[f"{side}_uniq"], vals, mesh, group,

@@ -70,13 +70,20 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
 
 def create_sharded_state(cfg: RunConfig, mesh: Mesh, params) -> TrainState:
+    from dssm_tpu.models.base import TABLE_KEY
+    from dssm_tpu.train.sparse_update import _dense_subtree, uses_sparse_update
+
     params = shard_params(params, mesh, cfg.mesh.model_parallel)
     tx = make_optimizer(cfg.train)
+    sparse = uses_sparse_update(cfg) and cfg.data.dedup_lookup
+    table_key = TABLE_KEY[cfg.tower.arch]
 
     @jax.jit
     def init(p):
+        opt_tree = _dense_subtree(p, table_key) if sparse else p
         return TrainState(
-            step=jnp.zeros((), dtype=jnp.int32), params=p, opt_state=tx.init(p)
+            step=jnp.zeros((), dtype=jnp.int32), params=p,
+            opt_state=tx.init(opt_tree),
         )
 
     with mesh:

@@ -37,7 +37,59 @@ from dssm_tpu.train.state import TrainState, make_optimizer
 
 
 def uses_sparse_update(cfg: RunConfig) -> bool:
-    return cfg.train.sparse_embed_update and cfg.train.optimizer == "sgd"
+    # Sparse table updates need a self-contained row update rule: plain SGD
+    # (matching the dense optimizer) or row-wise AdaGrad (its accumulator
+    # travels inside the table — see table_update_vals).
+    return cfg.train.sparse_embed_update and (
+        cfg.train.optimizer == "sgd" or cfg.train.table_optimizer == "adagrad"
+    )
+
+
+def logical_table_width(cfg: RunConfig) -> int:
+    """Columns of the table that hold real weights (pre-lane-padding)."""
+    tower = cfg.tower
+    return {
+        "mlp": tower.embed_width,
+        "cnn": tower.conv_window * tower.conv_channels,
+        "lstm": tower.embed_width,
+    }[tower.arch]
+
+
+def table_update_vals(cfg: RunConfig, g_compact: jax.Array,
+                      compact: jax.Array) -> jax.Array:
+    """Scatter-ADD values for one side's compact table rows.
+
+    sgd:     vals = -lr * g                         (classic IndexedSlices)
+    adagrad: row-wise AdaGrad. acc rides in the LAST (lane-padding) column of
+             the table — gathered with the weights, updated by the same
+             scatter: vals[:, :W] = -lr * g / sqrt(acc + g2 + eps),
+             vals[:, ACC] = g2 where g2 = mean(g[:, :W]^2) per row.
+             (With shared towers the two sides' g2 contributions add into acc
+             sequentially; each side scales by acc_old + own g2.)
+    """
+    lr = cfg.train.learning_rate
+    if cfg.train.table_optimizer == "sgd":
+        return (-lr) * g_compact
+    if cfg.train.table_optimizer != "adagrad":
+        raise ValueError(cfg.train.table_optimizer)
+    width = logical_table_width(cfg)
+    h_pad = compact.shape[1]
+    if h_pad <= width:
+        raise ValueError(
+            "adagrad table optimizer needs a spare lane-padding column; "
+            f"table width {h_pad} == logical width {width}"
+        )
+    acc_col = h_pad - 1
+    g32 = g_compact.astype(jnp.float32)
+    g2 = jnp.mean(g32[:, :width] ** 2, axis=1, keepdims=True)  # [U, 1]
+    acc_old = compact[:, acc_col:acc_col + 1].astype(jnp.float32)
+    scale = lr / jnp.sqrt(acc_old + g2 + cfg.train.table_adagrad_eps)
+    vals = -scale * g32
+    # Column layout: [0, W) weights, (W, ACC) dead padding, ACC accumulator.
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    vals = jnp.where(col_ids < width, vals, 0.0)
+    vals = jnp.where(col_ids == acc_col, g2, vals)
+    return vals
 
 
 def _dense_subtree(params: Dict, table_key: str) -> Dict:
@@ -124,6 +176,11 @@ def make_sparse_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callab
                 loss_from_compacts, argnums=(0, 1, 2), has_aux=True
             )(dense, cq, cd, batch)
         else:
+            if cfg.train.table_optimizer == "adagrad":
+                raise ValueError(
+                    "table_optimizer='adagrad' requires dedup batches "
+                    "(data.dedup_lookup)"
+                )
             lq = model_base.embed_table_lookup(params, cfg.tower, "q", batch,
                                                impl=impl)
             ld = model_base.embed_table_lookup(params, cfg.tower, "d", batch,
@@ -149,6 +206,10 @@ def make_sparse_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callab
                     )
 
                     g_c = g_cq if side == "q" else g_cd
+                    compact = cq if side == "q" else cd
+                    vals = table_update_vals(cfg, g_c, compact).astype(
+                        table.dtype
+                    )
                     group = sublane_group(table.dtype)
                     use_pallas_scatter = (
                         impl in ("pallas", "auto")
@@ -156,14 +217,11 @@ def make_sparse_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callab
                     )
                     if use_pallas_scatter:
                         table = scatter_add_row_groups(
-                            table, batch[f"{side}_uniq"],
-                            (-lr * g_c).astype(table.dtype), group,
+                            table, batch[f"{side}_uniq"], vals, group
                         )
                     else:
                         rows = expand_group_rows(batch[f"{side}_uniq"], group)
-                        table = table.at[rows].add(
-                            (-lr * g_c).astype(table.dtype)
-                        )
+                        table = table.at[rows].add(vals)
                 else:
                     g = g_lq if side == "q" else g_ld
                     table = scatter_table_update(

@@ -41,3 +41,23 @@ def create_state(params: Dict, cfg: TrainConfig) -> TrainState:
         params=params,
         opt_state=tx.init(params),
     )
+
+
+def create_run_state(cfg, params: Dict) -> TrainState:
+    """RunConfig-aware state: under sparse table updates the optax state
+    covers only the DENSE subtree (the table optimizer's state rides inside
+    the table itself — train/sparse_update.table_update_vals), so e.g. adam
+    never materializes [V, H] moments for the embedding table."""
+    from dssm_tpu.models.base import TABLE_KEY
+    from dssm_tpu.train.sparse_update import _dense_subtree, uses_sparse_update
+
+    tx = make_optimizer(cfg.train)
+    if uses_sparse_update(cfg):
+        opt_init_tree = _dense_subtree(params, TABLE_KEY[cfg.tower.arch])
+    else:
+        opt_init_tree = params
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        opt_state=tx.init(opt_init_tree),
+    )

@@ -1,0 +1,90 @@
+"""Row-wise AdaGrad table optimizer (train/sparse_update.table_update_vals):
+the accumulator rides in the lane-padding column; semantics match a numpy
+reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dssm_tpu.config import DataConfig, LossConfig, RunConfig, TowerConfig, TrainConfig
+from dssm_tpu.data import loader, toy
+from dssm_tpu.models import base as mb
+from dssm_tpu.train.loop import make_train_step
+from dssm_tpu.train.sparse_update import table_update_vals
+from dssm_tpu.train.state import create_run_state
+
+B = 32
+
+
+def _cfg(table_opt="adagrad", optimizer="sgd"):
+    return RunConfig(
+        tower=TowerConfig(vocab_size=3000, embed_width=32, hidden_dims=(24,),
+                          semantic_dim=16),
+        data=DataConfig(max_trigrams=32, max_unique=2048, max_unique_rows=512),
+        loss=LossConfig(mode="in_batch"),
+        train=TrainConfig(batch_size=B, learning_rate=0.1, optimizer=optimizer,
+                          use_pallas=False, table_optimizer=table_opt),
+    )
+
+
+def test_update_vals_numpy_reference():
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    u, w, hp = 16, 32, 128
+    compact = np.zeros((u, hp), dtype=np.float32)
+    compact[:, :w] = rng.normal(size=(u, w))
+    compact[:, hp - 1] = rng.uniform(0, 2, size=u)  # existing accumulator
+    g = np.zeros((u, hp), dtype=np.float32)
+    g[:, :w] = rng.normal(size=(u, w))
+
+    vals = np.asarray(table_update_vals(cfg, jnp.asarray(g), jnp.asarray(compact)))
+    g2 = (g[:, :w] ** 2).mean(axis=1)
+    scale = cfg.train.learning_rate / np.sqrt(
+        compact[:, hp - 1] + g2 + cfg.train.table_adagrad_eps
+    )
+    np.testing.assert_allclose(vals[:, :w], -scale[:, None] * g[:, :w],
+                               rtol=1e-5)
+    np.testing.assert_allclose(vals[:, hp - 1], g2, rtol=1e-5)
+    assert (vals[:, w:hp - 1] == 0).all()  # dead padding untouched
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "adam"])
+def test_adagrad_table_training(optimizer):
+    """Whole training: adagrad tables (+ any dense optimizer) learn, and the
+    accumulator column grows monotonically on touched rows."""
+    cfg = _cfg("adagrad", optimizer)
+    if optimizer == "adam":
+        cfg = cfg.replace(train=cfg.train.replace(learning_rate=0.01))
+    pairs = toy.make_toy_pairs(B, vocab_words=64, seed=5)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    batch = loader.select_batch(hashed, np.arange(B), False,
+                                dedup_unique=cfg.data.max_unique,
+                                dedup_unique_rows=cfg.data.max_unique_rows)
+    params = mb.init_params(cfg.tower, seed=0)
+    state = create_run_state(cfg, params)
+    step = make_train_step(cfg, impl="xla")
+    losses = []
+    for _ in range(25):
+        state, aux = step(state, batch)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
+    table = np.asarray(state.params["shared"]["W0"])
+    acc = table[:, -1]
+    assert (acc >= 0).all()
+    assert acc.max() > 0  # touched rows accumulated
+    # untouched rows: accumulator stays exactly 0
+    touched = np.unique(batch["q_idx"].reshape(-1))
+    untouched = np.setdiff1d(np.arange(200), touched)[:50]
+    assert (acc[untouched] == 0).all()
+
+
+def test_adagrad_requires_dedup():
+    cfg = _cfg()
+    pairs = toy.make_toy_pairs(B, vocab_words=64, seed=5)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    plain = loader.select_batch(hashed, np.arange(B), False)  # no dedup
+    params = mb.init_params(cfg.tower, seed=0)
+    state = create_run_state(cfg, params)
+    step = make_train_step(cfg, impl="xla")
+    with pytest.raises(ValueError, match="adagrad"):
+        step(state, plain)
