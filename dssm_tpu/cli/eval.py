@@ -36,7 +36,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     from dssm_tpu.train.eval import evaluate
     from dssm_tpu.train.state import create_run_state
 
-    cfg = coerce_overrides(get_preset(preset), raw_overrides)
+    from dssm_tpu.config import validate as validate_cfg
+
+    cfg = validate_cfg(coerce_overrides(get_preset(preset), raw_overrides))
     pairs = make_toy_pairs(cfg.data.toy_num_pairs, cfg.data.toy_vocab_words,
                            cfg.data.seed)
     _, eval_pairs = train_eval_split(pairs, seed=cfg.data.seed)

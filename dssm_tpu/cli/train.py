@@ -95,7 +95,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     from dssm_tpu.train.sparse_update import uses_sparse_update
 
     dist.initialize()
-    cfg = coerce_overrides(get_preset(preset), raw_overrides)
+    from dssm_tpu.config import validate as validate_cfg
+
+    cfg = validate_cfg(coerce_overrides(get_preset(preset), raw_overrides))
     devices = jax.devices()
     multi_device = len(devices) > 1 or cfg.mesh.model_parallel > 1
     print(f"preset={cfg.name} devices={len(devices)}x{devices[0].platform} "
@@ -128,7 +130,10 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     batches = prefetch(batches, depth=2)
 
-    writer = MetricsWriter(f"{cfg.io.workdir}/{cfg.io.metrics_file}")
+    writer = MetricsWriter(
+        f"{cfg.io.workdir}/{cfg.io.metrics_file}",
+        tensorboard_dir=(f"{cfg.io.workdir}/tb" if cfg.io.tensorboard else None),
+    )
     ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)
 
     if multi_device:
@@ -186,6 +191,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                 ev = evaluate(state.params, cfg, hashed_eval,
                               cfg.train.batch_size, impl_eval)
                 writer.write("eval", step, ev)
+                if cfg.io.tensorboard:
+                    from dssm_tpu.io.metrics import weight_summaries
+
+                    writer.write("weights", step,
+                                 weight_summaries(state.params))
                 print(f"eval@{step}: recall@1={ev['recall@1']:.3f} "
                       f"ndcg@10={ev['ndcg@10']:.3f}", file=sys.stderr)
             if (cfg.train.checkpoint_every and step

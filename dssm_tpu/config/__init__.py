@@ -9,4 +9,5 @@ from dssm_tpu.config.configs import (  # noqa: F401
     TrainConfig,
     apply_overrides,
     get_preset,
+    validate,
 )

@@ -233,6 +233,46 @@ PRESETS = {
 }
 
 
+def validate(cfg: RunConfig) -> RunConfig:
+    """Fail fast on invalid configs — at startup, not at first jitted step."""
+    t, tr, d, l = cfg.tower, cfg.train, cfg.data, cfg.loss
+    checks = [
+        (t.arch in ("mlp", "cnn", "lstm"), f"tower.arch {t.arch!r}"),
+        (t.activation in ("tanh", "relu"), f"tower.activation {t.activation!r}"),
+        (tr.optimizer in ("sgd", "momentum", "adam"),
+         f"train.optimizer {tr.optimizer!r}"),
+        (tr.table_optimizer in ("sgd", "adagrad"),
+         f"train.table_optimizer {tr.table_optimizer!r}"),
+        (l.mode in ("in_batch", "rotate"), f"loss.mode {l.mode!r}"),
+        (t.vocab_size > 1, f"tower.vocab_size {t.vocab_size}"),
+        (tr.batch_size > 0, f"train.batch_size {tr.batch_size}"),
+    ]
+    if d.dedup_lookup:
+        # DMA row-group alignment: 8 rows for f32 tables, 16 bf16, 32 int8.
+        group = {4: 8, 2: 16, 1: 32}[
+            __import__("numpy").dtype(t.param_dtype).itemsize
+        ]
+        checks.append((t.vocab_size % group == 0,
+                       f"tower.vocab_size {t.vocab_size} must be a multiple "
+                       f"of {group} with dedup_lookup (DMA row-group "
+                       f"alignment for {t.param_dtype} tables)"))
+        checks.append((d.max_unique % group == 0,
+                       f"data.max_unique {d.max_unique} must be a multiple "
+                       f"of {group}"))
+    if tr.table_optimizer == "adagrad":
+        checks.append((d.dedup_lookup and tr.sparse_embed_update,
+                       "table_optimizer='adagrad' requires data.dedup_lookup "
+                       "and train.sparse_embed_update"))
+    if l.mode == "rotate":
+        checks.append((l.num_negatives < tr.batch_size,
+                       f"loss.num_negatives {l.num_negatives} must be < "
+                       f"batch_size {tr.batch_size}"))
+    errors = [msg for ok, msg in checks if not ok]
+    if errors:
+        raise ValueError("invalid config: " + "; ".join(errors))
+    return cfg
+
+
 def get_preset(name: str) -> RunConfig:
     if name not in PRESETS:
         raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

@@ -18,21 +18,53 @@ import jax.numpy as jnp
 
 
 class MetricsWriter:
-    def __init__(self, path: Optional[str] = None):
+    """JSONL metrics (the primary contract) + optional TensorBoard events.
+
+    TensorBoard mirrors the reference's separate train/test SummaryWriters:
+    each record's `tag` becomes the TB sub-writer ("train", "eval", ...) and
+    scalar metrics land under their own names.
+    """
+
+    def __init__(self, path: Optional[str] = None,
+                 tensorboard_dir: Optional[str] = None):
         self._fh: Optional[IO[str]] = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._fh = open(path, "a", buffering=1)
+        self._tb_dir = tensorboard_dir
+        self._tb_writers: Dict[str, Any] = {}
+
+    def _tb(self, tag: str):
+        if self._tb_dir is None:
+            return None
+        if tag not in self._tb_writers:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except ImportError:
+                self._tb_dir = None
+                return None
+            self._tb_writers[tag] = SummaryWriter(
+                os.path.join(self._tb_dir, tag)
+            )
+        return self._tb_writers[tag]
 
     def write(self, tag: str, step: int, metrics: Dict[str, Any]) -> None:
         record = {"tag": tag, "step": step, "time": time.time(), **metrics}
         if self._fh is not None:
             self._fh.write(json.dumps(record) + "\n")
+        tb = self._tb(tag)
+        if tb is not None:
+            for name, value in metrics.items():
+                if isinstance(value, (int, float)):
+                    tb.add_scalar(name, value, global_step=step)
 
     def close(self) -> None:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+        for w in self._tb_writers.values():
+            w.close()
+        self._tb_writers.clear()
 
 
 def weight_summaries(params) -> Dict[str, float]:

@@ -156,6 +156,7 @@ def lookup_from_compact(
     wgt: jax.Array,
     compute_dtype=jnp.float32,
     row_sel: Optional[jax.Array] = None,
+    impl: str = "xla",
 ) -> jax.Array:
     """out[...] = sum_k wgt[..., k] * compact[inv[..., k]] via count @ compact.
 
@@ -181,6 +182,14 @@ def lookup_from_compact(
     else:
         compact2 = compact.astype(compute_dtype)
         width = gr
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if impl == "pallas":
+        from dssm_tpu.kernels.pallas_count import count_lookup_pallas
+
+        fused = count_lookup_pallas(compact2, inv, wgt)
+        if fused is not None:
+            return fused
     cnt = count_matrix(inv, wgt, width, dtype=compute_dtype)
     cnt = jax.lax.stop_gradient(cnt)
     out = jnp.dot(cnt, compact2, preferred_element_type=jnp.float32)
@@ -257,4 +266,5 @@ def dedup_embedding_bag(
 ) -> jax.Array:
     """Full fwd path: gather compact row-groups then count-matmul."""
     compact = gather_compact(table, uniq_groups, group, impl=impl)
-    return lookup_from_compact(compact, inv, wgt, compute_dtype, row_sel)
+    return lookup_from_compact(compact, inv, wgt, compute_dtype, row_sel,
+                               impl=impl)

@@ -66,11 +66,11 @@ def make_parallel_sparse_train_step(
 
     def loss_from_compacts(dense_params, cq, cd, batch):
         lq = lookup_from_compact(cq, batch["q_inv"], batch["q_wgt"],
-                                 compute_dtype,
-                                 batch.get("q_sel")).astype(compute_dtype)
+                                 compute_dtype, batch.get("q_sel"),
+                                 impl=impl).astype(compute_dtype)
         ld = lookup_from_compact(cd, batch["d_inv"], batch["d_wgt"],
-                                 compute_dtype,
-                                 batch.get("d_sel")).astype(compute_dtype)
+                                 compute_dtype, batch.get("d_sel"),
+                                 impl=impl).astype(compute_dtype)
         q = model_base.embed_from_lookup(dense_params, cfg.tower, "q", batch,
                                          lq, impl=impl)
         d = model_base.embed_from_lookup(dense_params, cfg.tower, "d", batch,

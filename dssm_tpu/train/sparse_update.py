@@ -143,11 +143,11 @@ def make_sparse_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callab
         from dssm_tpu.kernels.dedup_embed import lookup_from_compact
 
         lq = lookup_from_compact(cq, batch["q_inv"], batch["q_wgt"],
-                                 compute_dtype,
-                                 batch.get("q_sel")).astype(compute_dtype)
+                                 compute_dtype, batch.get("q_sel"),
+                                 impl=impl).astype(compute_dtype)
         ld = lookup_from_compact(cd, batch["d_inv"], batch["d_wgt"],
-                                 compute_dtype,
-                                 batch.get("d_sel")).astype(compute_dtype)
+                                 compute_dtype, batch.get("d_sel"),
+                                 impl=impl).astype(compute_dtype)
         return loss_from_lookups(dense_params, lq, ld, batch)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

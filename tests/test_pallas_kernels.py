@@ -119,3 +119,49 @@ def test_gather_scatter_kernels_interpret():
     ref = np.asarray(table).copy()
     ref[rows] += np.asarray(vals)
     np.testing.assert_allclose(np.asarray(updated), ref, rtol=1e-6)
+
+
+def test_count_lookup_kernel_matches_xla():
+    from dssm_tpu.kernels.pallas_count import count_lookup_pallas
+    from dssm_tpu.kernels.dedup_embed import lookup_from_compact
+
+    rng = np.random.default_rng(6)
+    rows, k, u2, h = 256, 16, 128, 128
+    compact2 = jnp.asarray(rng.normal(size=(u2, h)).astype(np.float32))
+    inv = jnp.asarray(rng.integers(0, u2, size=(rows, k)).astype(np.int32))
+    wgt = jnp.asarray(rng.uniform(0, 2, size=(rows, k)).astype(np.float32))
+
+    out = count_lookup_pallas(compact2, inv, wgt, interpret=True)
+    assert out is not None
+    ref = lookup_from_compact(compact2, inv, wgt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_count_lookup_kernel_grads_match_xla():
+    from dssm_tpu.kernels.pallas_count import count_lookup_pallas
+    from dssm_tpu.kernels.dedup_embed import lookup_from_compact
+
+    rng = np.random.default_rng(7)
+    rows, k, u2, h = 128, 8, 128, 128
+    compact2 = jnp.asarray(rng.normal(size=(u2, h)).astype(np.float32))
+    inv = jnp.asarray(rng.integers(0, u2, size=(rows, k)).astype(np.int32))
+    wgt = jnp.asarray(rng.uniform(0, 2, size=(rows, k)).astype(np.float32))
+
+    g_p = jax.grad(
+        lambda c: (count_lookup_pallas(c, inv, wgt, interpret=True) ** 2).sum()
+    )(compact2)
+    g_x = jax.grad(lambda c: (lookup_from_compact(c, inv, wgt) ** 2).sum())(
+        compact2
+    )
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_count_lookup_kernel_rejects_bad_shapes():
+    from dssm_tpu.kernels.pallas_count import count_lookup_pallas
+
+    compact2 = jnp.zeros((100, 128))  # u2 not 128-multiple
+    inv = jnp.zeros((64, 8), jnp.int32)
+    wgt = jnp.zeros((64, 8), jnp.float32)
+    assert count_lookup_pallas(compact2, inv, wgt, interpret=True) is None
