@@ -46,6 +46,21 @@ def _measure(step_fn, state, batch, warmup=2, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def _measure_multi(multi_fn, state, batch, k, warmup=2, iters=8):
+    """Per-step time of the K-steps-per-dispatch scan path."""
+    stacked = {key: v[None].repeat(k, axis=0) for key, v in batch.items()}
+    for _ in range(warmup):
+        state, auxes = multi_fn(state, stacked)
+    aux = {key: v[-1] for key, v in auxes.items()}
+    _force(state, aux)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, auxes = multi_fn(state, stacked)
+    aux = {key: v[-1] for key, v in auxes.items()}
+    _force(state, aux)
+    return (time.perf_counter() - t0) / (iters * k)
+
+
 def main():
     import jax
 
@@ -96,6 +111,24 @@ def main():
                 value = batch_size / t_best
         except Exception as e:  # pallas path must never break the bench
             print(f"# pallas path failed, reporting xla: {e}", file=sys.stderr)
+        try:
+            # K steps per dispatch (lax.scan): amortizes host dispatch, the
+            # dominant overhead on the axon relay (train/loop.py docstring).
+            from dssm_tpu.train.loop import make_multi_train_step
+
+            # K sweep on the axon relay: 1.56 ms/step @K=8, 0.87 @K=64,
+            # 0.73 @K=256 (diminishing); 64 balances gain vs dispatch latency.
+            k = 64
+            t_multi = _measure_multi(
+                make_multi_train_step(cfg, impl="pallas"), fresh_state(),
+                batch, k, iters=4)
+            print(f"# pallas multi-step (K={k}): "
+                  f"{t_multi * 1e3:.3f} ms/step", file=sys.stderr)
+            if t_multi < t_best:
+                t_best = t_multi
+                value = batch_size / t_best
+        except Exception as e:
+            print(f"# multi-step path failed: {e}", file=sys.stderr)
 
     result = {
         "metric": f"full_dssm_train_pairs_per_sec_per_chip[{platform}]",

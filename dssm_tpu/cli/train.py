@@ -87,10 +87,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     from dssm_tpu.parallel import dist
     from dssm_tpu.parallel.mesh import make_mesh
     from dssm_tpu.parallel.train_step import (
-        create_sharded_state, make_parallel_train_step,
+        create_sharded_state, make_parallel_multi_step, make_parallel_train_step,
     )
     from dssm_tpu.train.eval import evaluate
-    from dssm_tpu.train.loop import add_rotation_offsets, make_train_step
+    from dssm_tpu.train.loop import (
+        add_rotation_offsets, make_multi_train_step, make_train_step,
+        stack_batches,
+    )
     from dssm_tpu.train.state import create_run_state
     from dssm_tpu.train.sparse_update import uses_sparse_update
 
@@ -136,16 +139,20 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)
 
+    spc = cfg.train.steps_per_call
     if multi_device:
         mesh = make_mesh(cfg.mesh)
         state = create_sharded_state(cfg, mesh, params)
         step_fn = make_parallel_train_step(cfg, mesh)
+        multi_fn = make_parallel_multi_step(cfg, mesh) if spc > 1 else None
         ctx = mesh
     else:
         import contextlib
 
+        mesh = None
         state = create_run_state(cfg, params)
         step_fn = make_train_step(cfg)
+        multi_fn = make_multi_train_step(cfg) if spc > 1 else None
         ctx = contextlib.nullcontext()
 
     if resume:
@@ -156,38 +163,56 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     start_step = int(state.step)
     impl_eval = "xla"  # eval on changing tail shapes: keep XLA fallback
-    profiling = False
+    profiling = profiled = False
     with ctx:
         t_last = time.perf_counter()
-        for step in range(start_step, cfg.train.max_steps):
+        step = last_log_step = start_step
+        while step < cfg.train.max_steps:
             # Profiler hook (SURVEY.md §6.1): trace a warm window of steps.
-            if cfg.io.profile_dir and step == start_step + 5 and not profiling:
+            if (cfg.io.profile_dir and not profiling and not profiled
+                    and step >= start_step + 5):
                 jax.profiler.start_trace(cfg.io.profile_dir)
                 profiling = True
-            if profiling and step == start_step + 10:
+            if profiling and step >= start_step + 10:
                 jax.profiler.stop_trace()
-                profiling = False
+                profiling, profiled = False, True
                 print(f"profile written to {cfg.io.profile_dir}",
                       file=sys.stderr)
-            batch = add_rotation_offsets(next(batches), cfg, step)
-            if multi_device:
-                batch = dist.make_global_batch(batch, mesh)
-            state, aux = step_fn(state, batch)
-            if step % cfg.train.log_every == 0:
+            if multi_fn is not None and cfg.train.max_steps - step >= spc:
+                # K steps fused into one dispatch (train.loop docstring).
+                stacked = stack_batches(
+                    add_rotation_offsets(next(batches), cfg, step + j)
+                    for j in range(spc)
+                )
+                if multi_device:
+                    stacked = dist.make_global_batch(stacked, mesh,
+                                                     stacked=True)
+                state, auxes = multi_fn(state, stacked)
+                aux = {k: v[-1] for k, v in auxes.items()}
+                step += spc - 1  # log/eval/ckpt below act on the LAST step
+            else:
+                batch = add_rotation_offsets(next(batches), cfg, step)
+                if multi_device:
+                    batch = dist.make_global_batch(batch, mesh)
+                state, aux = step_fn(state, batch)
+            stride = spc if multi_fn is not None else 1
+            if step % cfg.train.log_every < stride:
                 now = time.perf_counter()
                 metrics = {k: float(v) for k, v in aux.items()}
                 metrics["steps_per_sec"] = (
-                    cfg.train.log_every / (now - t_last) if step else 0.0
+                    (step - last_log_step) / (now - t_last)
+                    if step > last_log_step else 0.0
                 )
                 metrics["pairs_per_sec"] = (
                     metrics["steps_per_sec"] * cfg.train.batch_size
                 )
-                t_last = now
+                t_last, last_log_step = now, step
                 writer.write("train", step, metrics)
                 print(f"step {step}: loss={metrics['loss']:.4f} "
                       f"r@1={metrics['in_batch_recall@1']:.3f}",
                       file=sys.stderr)
-            if cfg.train.eval_every and step and step % cfg.train.eval_every == 0:
+            if (cfg.train.eval_every and step
+                    and step % cfg.train.eval_every < stride):
                 ev = evaluate(state.params, cfg, hashed_eval,
                               cfg.train.batch_size, impl_eval)
                 writer.write("eval", step, ev)
@@ -199,8 +224,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                 print(f"eval@{step}: recall@1={ev['recall@1']:.3f} "
                       f"ndcg@10={ev['ndcg@10']:.3f}", file=sys.stderr)
             if (cfg.train.checkpoint_every and step
-                    and step % cfg.train.checkpoint_every == 0):
+                    and step % cfg.train.checkpoint_every < stride):
                 ckpt.save(step, state)
+            step += 1
 
         ckpt.save(cfg.train.max_steps, state, force=True)
         ckpt.wait()

@@ -125,7 +125,12 @@ def embedding_bag_sharded(
         from dssm_tpu.kernels.sparse_embed import embedding_bag_xla
 
         if base_impl == "pallas":
-            from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas as bag
+            from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas
+
+            def bag(t, i, w):
+                out = embedding_bag_pallas(t, i, w)
+                return (out.astype(t.dtype) if out is not None
+                        else embedding_bag_xla(t, i, w))
         else:
             bag = embedding_bag_xla
         shard = jax.lax.axis_index(model_axis)

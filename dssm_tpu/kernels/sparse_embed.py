@@ -12,12 +12,16 @@ which is mathematically x_dense @ table restricted to the K nonzeros.
 
 Two implementations behind one interface:
   - "xla": jnp.take + weighted sum. XLA autodiff gives the scatter-add
-    backward for free; on TPU the gather lowers to dynamic-slice loops.
-  - "pallas": double-buffered HBM->VMEM row-gather kernel (kernels/pallas_embed.py)
-    with a segment-sum custom backward. Used when table lives in HBM and
-    gather bandwidth is the bottleneck (500k-vocab Full DSSM).
+    backward for free; on TPU the gather runs through the serial row engine.
+  - "pallas": aligned-group DMA gather + one-hot select matmuls
+    (kernels/pallas_embed.py) with a custom VJP.
 
-`impl="auto"` picks pallas on TPU when available, else xla.
+Measured on v5e at Full-DSSM raw shapes (B=1024, K=64, 500k x 384 f32):
+XLA 3.36 ms vs pallas 3.97 ms — the per-lookup DMA descriptor count (B*K)
+dominates, so `impl="auto"` picks XLA for this RAW-index bag. The actual TPU
+fast path is the per-batch dedup pipeline (kernels/dedup_embed.py: compact
+group-gather + count-matmul, ~100x fewer DMAs), which the training step uses
+whenever the batch carries dedup fields.
 """
 
 from __future__ import annotations
@@ -26,13 +30,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
 
 
 def embedding_bag_xla(table: jax.Array, idx: jax.Array, wgt: jax.Array) -> jax.Array:
@@ -65,13 +62,16 @@ def embedding_bag(
             )
         impl = base_impl
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "xla"
+        impl = "xla"  # raw-index bag: XLA gather wins (module docstring)
     if impl == "xla":
         return embedding_bag_xla(table, idx, wgt)
     if impl == "pallas":
         from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas
 
-        return embedding_bag_pallas(table, idx, wgt)
+        out = embedding_bag_pallas(table, idx, wgt)
+        if out is not None:
+            return out.astype(table.dtype)
+        return embedding_bag_xla(table, idx, wgt)  # unsupported shapes
     raise ValueError(f"unknown impl {impl!r}")
 
 

@@ -50,7 +50,7 @@ def process_count() -> int:
     return jax.process_count()
 
 
-def make_global_batch(batch, mesh):
+def make_global_batch(batch, mesh, stacked: bool = False):
     """Assemble per-host local batch shards into global jax.Arrays.
 
     Single-process: equivalent to shard_batch. Multi-host: each host passes
@@ -70,14 +70,15 @@ def make_global_batch(batch, mesh):
     if jax.process_count() == 1:
         from dssm_tpu.parallel.train_step import shard_batch
 
-        return shard_batch(batch, mesh)
+        return shard_batch(batch, mesh, stacked=stacked)
 
+    batch_spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
     out = {}
     for k, v in batch.items():
         if k == "rot_offsets" or k.endswith("_uniq") or k.endswith("_sel"):
             sharding = NamedSharding(mesh, P())
             out[k] = jax.make_array_from_process_local_data(sharding, v)
         else:
-            sharding = NamedSharding(mesh, P(DATA_AXIS))
+            sharding = NamedSharding(mesh, batch_spec)
             out[k] = jax.make_array_from_process_local_data(sharding, v)
     return out

@@ -17,7 +17,6 @@ single-device sparse step (tests/test_parallel_sparse.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -48,6 +47,15 @@ def make_parallel_sparse_train_step(
     cfg: RunConfig, mesh: Mesh, impl: Optional[str] = None
 ) -> Callable:
     """Requires dedup batches ({q,d}_uniq/_sel/_inv). Call under `mesh`."""
+    return jax.jit(make_parallel_sparse_step_body(cfg, mesh, impl),
+                   donate_argnums=(0,))
+
+
+def make_parallel_sparse_step_body(
+    cfg: RunConfig, mesh: Mesh, impl: Optional[str] = None
+) -> Callable:
+    """Un-jitted SPMD sparse step body; scan-able (parallel.train_step
+    .make_parallel_multi_step)."""
     if impl is None:
         impl = "auto" if cfg.train.use_pallas else "xla"
     table_key = TABLE_KEY[cfg.tower.arch]
@@ -83,7 +91,6 @@ def make_parallel_sparse_train_step(
             return rotate_loss(q, d, batch["rot_offsets"], cfg.loss.gamma)
         return in_batch_loss(q, d, cfg.loss.gamma, impl=impl)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         params = state.params
         dense = _dense_subtree(params, table_key)

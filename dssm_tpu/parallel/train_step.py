@@ -57,8 +57,10 @@ def shard_params(params, mesh: Mesh, model_parallel: int):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    sh = batch_sharding(mesh)
+def shard_batch(batch: Dict, mesh: Mesh, stacked: bool = False) -> Dict:
+    """stacked=True: leaves carry a leading [K] scan axis (unsharded) in
+    front of the batch dim — the multi-step path (make_parallel_multi_step)."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS)) if stacked else batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     # rot_offsets ([NEG]) and the dedup unique-row lists ([U]) are not
     # batch-dim data — replicate them.
@@ -122,7 +124,46 @@ def make_parallel_train_step(
     return _make_dense_parallel_step(cfg, mesh, impl)
 
 
+def make_parallel_multi_step(
+    cfg: RunConfig, mesh: Mesh, impl: Optional[str] = None
+) -> Callable:
+    """K SPMD steps per dispatch: jitted (state, stacked_batches) ->
+    (state, stacked_aux) — the parallel analogue of
+    train.loop.make_multi_train_step. Batch leaves carry a leading [K] axis
+    (train.loop.stack_batches); shard them P(None, 'data', ...) — the scan
+    axis is unsharded. Dispatches sparse vs dense by batch structure, like
+    make_parallel_train_step."""
+    from dssm_tpu.train.sparse_update import uses_sparse_update
+
+    def jit_scan(body):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi(state, batches):
+            return jax.lax.scan(body, state, batches)
+
+        return multi
+
+    dense_multi = jit_scan(_make_dense_parallel_step_body(cfg, mesh, impl))
+    if uses_sparse_update(cfg) and cfg.data.dedup_lookup:
+        from dssm_tpu.parallel.sparse_step import make_parallel_sparse_step_body
+
+        sparse_multi = jit_scan(make_parallel_sparse_step_body(cfg, mesh, impl))
+
+        def dispatch(state, batches):
+            if "q_uniq" in batches:
+                return sparse_multi(state, batches)
+            return dense_multi(state, batches)
+
+        return dispatch
+    return dense_multi
+
+
 def _make_dense_parallel_step(
+    cfg: RunConfig, mesh: Mesh, impl: Optional[str] = None
+) -> Callable:
+    return jax.jit(_make_dense_parallel_step_body(cfg, mesh, impl))
+
+
+def _make_dense_parallel_step_body(
     cfg: RunConfig, mesh: Mesh, impl: Optional[str] = None
 ) -> Callable:
     if impl is None:
@@ -151,7 +192,6 @@ def _make_dense_parallel_step(
                 return run()
         return run()
 
-    @jax.jit
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch

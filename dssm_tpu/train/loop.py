@@ -55,12 +55,23 @@ def make_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
 
     if uses_sparse_update(cfg):
         return make_sparse_train_step(cfg, impl)
+    return jax.jit(make_train_step_body(cfg, impl))
+
+
+def make_train_step_body(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
+    """Un-jitted (state, batch) -> (state, aux): the scan-able step body."""
+    from dssm_tpu.train.sparse_update import (
+        make_sparse_train_step_body,
+        uses_sparse_update,
+    )
+
+    if uses_sparse_update(cfg):
+        return make_sparse_train_step_body(cfg, impl)
     if impl is None:
         impl = "auto" if cfg.train.use_pallas else "xla"
     tx = make_optimizer(cfg.train)
     loss_fn = make_loss_fn(cfg, impl)
 
-    @jax.jit
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
@@ -73,6 +84,35 @@ def make_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
         return new_state, aux
 
     return train_step
+
+
+def make_multi_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
+    """K steps per device dispatch: jitted (state, stacked_batches) ->
+    (state, stacked_aux).
+
+    `stacked_batches` is a batch dict whose every leaf has a leading [K] axis
+    (see stack_batches); the step body runs K times sequentially inside ONE
+    compiled executable via lax.scan — semantics identical to K single steps,
+    but host dispatch overhead is paid once. aux leaves come back stacked [K].
+    """
+    body = make_train_step_body(cfg, impl)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches) -> Tuple[TrainState, Dict]:
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
+def stack_batches(batches) -> Dict:
+    """Stack K host batch dicts into one dict of [K, ...] arrays for
+    make_multi_train_step. All batches must share keys (same loader config)."""
+    batches = list(batches)
+    keys = batches[0].keys()
+    for b in batches[1:]:
+        if b.keys() != keys:
+            raise ValueError("cannot stack batches with differing keys")
+    return {k: np.stack([np.asarray(b[k]) for b in batches]) for k in keys}
 
 
 def make_eval_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
@@ -108,9 +148,33 @@ def train(
     metrics_cb: Optional[Callable[[int, Dict], None]] = None,
 ) -> TrainState:
     """Simple single-device driver used by tests and the tiny CPU preset."""
+    k = cfg.train.steps_per_call
+    if k > 1:
+        # K steps per dispatch; ragged tails reuse the same compiled multi_fn
+        # (the stacked leading dim stays K — jit sees one shape) by scanning
+        # a full K block only when K steps remain, else falling to singles.
+        multi_fn = make_multi_train_step(cfg)
+        single_fn = make_train_step(cfg)
+        i = 0
+        while i < num_steps:
+            if num_steps - i >= k:
+                stacked = stack_batches(
+                    add_rotation_offsets(next(batches), cfg, i + j)
+                    for j in range(k)
+                )
+                t0 = time.perf_counter()
+                state, auxes = multi_fn(state, stacked)
+                if metrics_cb is not None and (i % cfg.train.log_every < k):
+                    aux = {key: float(v[-1]) for key, v in auxes.items()}
+                    aux["step_ms"] = (time.perf_counter() - t0) * 1e3 / k
+                    metrics_cb(i + k - 1, aux)
+                i += k
+            else:
+                batch = add_rotation_offsets(next(batches), cfg, i)
+                state, _ = single_fn(state, batch)
+                i += 1
+        return state
     step_fn = make_train_step(cfg)
-    sequence = cfg.tower.is_sequence_model
-    del sequence  # loader already picked the right fields
     for i in range(num_steps):
         batch = add_rotation_offsets(next(batches), cfg, i)
         t0 = time.perf_counter()

@@ -22,7 +22,6 @@ and use the dense step (train/loop.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -122,6 +121,14 @@ def scatter_table_update(
 
 def make_sparse_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
     """SGD train step with sparse table updates. Drop-in for make_train_step."""
+    return jax.jit(make_sparse_train_step_body(cfg, impl), donate_argnums=(0,))
+
+
+def make_sparse_train_step_body(
+    cfg: RunConfig, impl: Optional[str] = None
+) -> Callable:
+    """Un-jitted (state, batch) -> (state, aux) body; scan-able for the
+    K-steps-per-dispatch path (train/loop.make_multi_train_step)."""
     if impl is None:
         impl = "auto" if cfg.train.use_pallas else "xla"
     table_key = TABLE_KEY[cfg.tower.arch]
@@ -150,7 +157,6 @@ def make_sparse_train_step(cfg: RunConfig, impl: Optional[str] = None) -> Callab
                                  impl=impl).astype(compute_dtype)
         return loss_from_lookups(dense_params, lq, ld, batch)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         from dssm_tpu.kernels.dedup_embed import gather_compact
 

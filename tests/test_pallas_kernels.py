@@ -165,3 +165,72 @@ def test_count_lookup_kernel_rejects_bad_shapes():
     inv = jnp.zeros((64, 8), jnp.int32)
     wgt = jnp.zeros((64, 8), jnp.float32)
     assert count_lookup_pallas(compact2, inv, wgt, interpret=True) is None
+
+
+def test_embedding_bag_kernel_matches_xla():
+    from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas
+    from dssm_tpu.kernels.sparse_embed import embedding_bag_xla
+
+    rng = np.random.default_rng(8)
+    v, h, rows, k = 256, 64, 32, 8
+    table = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, v, size=(rows, k)).astype(np.int32))
+    wgt = jnp.asarray(rng.uniform(0, 2, size=(rows, k)).astype(np.float32))
+    # zero-weight padding entries must not contribute
+    wgt = wgt.at[:, -1].set(0.0)
+
+    out = embedding_bag_pallas(table, idx, wgt, interpret=True)
+    assert out is not None
+    ref = embedding_bag_xla(table, idx, wgt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_embedding_bag_kernel_sequence_shapes():
+    from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas
+    from dssm_tpu.kernels.sparse_embed import embedding_bag_xla
+
+    rng = np.random.default_rng(9)
+    v, h, b, t, k = 128, 32, 4, 8, 4
+    table = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, v, size=(b, t, k)).astype(np.int32))
+    wgt = jnp.asarray(rng.uniform(0, 2, size=(b, t, k)).astype(np.float32))
+
+    out = embedding_bag_pallas(table, idx, wgt, interpret=True)
+    assert out is not None and out.shape == (b, t, h)
+    ref = embedding_bag_xla(table, idx, wgt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_embedding_bag_kernel_grads_match_xla():
+    from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas
+    from dssm_tpu.kernels.sparse_embed import embedding_bag_xla
+
+    rng = np.random.default_rng(10)
+    v, h, rows, k = 128, 32, 16, 8
+    table = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, v, size=(rows, k)).astype(np.int32))
+    wgt = jnp.asarray(rng.uniform(0, 2, size=(rows, k)).astype(np.float32))
+
+    def loss_p(t, w):
+        return (embedding_bag_pallas(t, idx, w, interpret=True) ** 2).sum()
+
+    def loss_x(t, w):
+        return (embedding_bag_xla(t, idx, w) ** 2).sum()
+
+    gt_p, gw_p = jax.grad(loss_p, argnums=(0, 1))(table, wgt)
+    gt_x, gw_x = jax.grad(loss_x, argnums=(0, 1))(table, wgt)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_embedding_bag_kernel_rejects_bad_shapes():
+    from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas
+
+    table = jnp.zeros((100, 32))  # vocab not a multiple of the f32 group (8)
+    idx = jnp.zeros((16, 4), jnp.int32)
+    wgt = jnp.zeros((16, 4), jnp.float32)
+    assert embedding_bag_pallas(table, idx, wgt, interpret=True) is None
