@@ -129,6 +129,37 @@ def main():
                 value = batch_size / t_best
         except Exception as e:
             print(f"# multi-step path failed: {e}", file=sys.stderr)
+        try:
+            # bf16 table + stochastic-rounding updates: halves table DMA
+            # bytes (kernels/stochastic.py); quality-parity tested in
+            # tests/test_stochastic.py.
+            from dssm_tpu.config import validate
+            from dssm_tpu.train.loop import make_multi_train_step
+            from dssm_tpu.train.state import create_run_state
+
+            cfg16 = validate(cfg.replace(
+                tower=cfg.tower.replace(table_dtype="bfloat16")))
+            params16 = model_base.init_params(cfg16.tower, seed=0)
+            table16 = params16[next(iter(params16))][
+                model_base.TABLE_KEY[cfg16.tower.arch]]
+            batch16 = select_batch(
+                hashed, np.arange(batch_size), False,
+                dedup_unique=cfg16.data.max_unique,
+                dedup_group=sublane_group(table16.dtype),
+                dedup_unique_rows=cfg16.data.max_unique_rows,
+            )
+            batch16 = {key: jax.device_put(v) for key, v in batch16.items()}
+            k = 64
+            t16 = _measure_multi(
+                make_multi_train_step(cfg16, impl="pallas"),
+                create_run_state(cfg16, params16), batch16, k, iters=4)
+            print(f"# pallas multi-step bf16-table (K={k}): "
+                  f"{t16 * 1e3:.3f} ms/step", file=sys.stderr)
+            if t16 < t_best:
+                t_best = t16
+                value = batch_size / t_best
+        except Exception as e:
+            print(f"# bf16-table path failed: {e}", file=sys.stderr)
 
     result = {
         "metric": f"full_dssm_train_pairs_per_sec_per_chip[{platform}]",

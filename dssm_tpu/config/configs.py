@@ -41,6 +41,16 @@ class TowerConfig(_Replaceable):
     lstm_hidden: int = 300
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # "bfloat16" on TPU for MXU throughput
+    # Storage dtype of the sparse first-layer table ONLY ("" = param_dtype).
+    # "bfloat16" halves table HBM footprint and doubles gather/scatter DMA
+    # bandwidth; updates then use stochastic rounding (train.
+    # table_stochastic_round) so sub-ulp gradient steps survive in
+    # expectation instead of all rounding to zero.
+    table_dtype: str = ""
+
+    @property
+    def table_dtype_resolved(self) -> str:
+        return self.table_dtype or self.param_dtype
 
     @property
     def is_sequence_model(self) -> bool:
@@ -132,6 +142,13 @@ class TrainConfig(_Replaceable):
     # column so optimizer state rides the same DMA gather/scatter).
     table_optimizer: str = "sgd"
     table_adagrad_eps: float = 1e-6
+    # Stochastic rounding for sub-f32 table updates (tower.table_dtype=
+    # "bfloat16"): accumulate old_row + update in f32, round to bf16 toward
+    # each neighbor with probability proportional to proximity (Pallas
+    # pltpu.stochastic_round on TPU, bit-trick fallback on CPU). Unbiased:
+    # E[table] follows the f32 trajectory even when single updates are below
+    # half a bf16 ulp (which plain round-to-nearest would erase entirely).
+    table_stochastic_round: bool = True
     # Steps fused into one device dispatch via lax.scan over K stacked
     # batches. Amortizes per-dispatch host overhead (dominant on relayed
     # runtimes; ~0.8 ms/step on the axon tunnel vs ~50 µs locally). 1 = off.
@@ -251,19 +268,31 @@ def validate(cfg: RunConfig) -> RunConfig:
         (t.vocab_size > 1, f"tower.vocab_size {t.vocab_size}"),
         (tr.batch_size > 0, f"train.batch_size {tr.batch_size}"),
         (tr.steps_per_call >= 1, f"train.steps_per_call {tr.steps_per_call}"),
+        (t.table_dtype in ("", "float32", "bfloat16"),
+         f"tower.table_dtype {t.table_dtype!r}"),
     ]
+    if t.table_dtype_resolved == "bfloat16":
+        checks.append((d.dedup_lookup and tr.sparse_embed_update,
+                       "tower.table_dtype='bfloat16' requires "
+                       "data.dedup_lookup and train.sparse_embed_update "
+                       "(stochastic-rounding updates run on the sparse "
+                       "row-group path only)"))
     if d.dedup_lookup:
         # DMA row-group alignment: 8 rows for f32 tables, 16 bf16, 32 int8.
         group = {4: 8, 2: 16, 1: 32}[
-            __import__("numpy").dtype(t.param_dtype).itemsize
+            __import__("numpy").dtype(t.table_dtype_resolved).itemsize
         ]
         checks.append((t.vocab_size % group == 0,
                        f"tower.vocab_size {t.vocab_size} must be a multiple "
                        f"of {group} with dedup_lookup (DMA row-group "
-                       f"alignment for {t.param_dtype} tables)"))
+                       f"alignment for {t.table_dtype_resolved} tables)"))
         checks.append((d.max_unique % group == 0,
                        f"data.max_unique {d.max_unique} must be a multiple "
                        f"of {group}"))
+        checks.append((d.max_unique <= t.vocab_size,
+                       f"data.max_unique {d.max_unique} must be <= "
+                       f"vocab_size {t.vocab_size} (dedupe pads unique-group "
+                       "slots with an absent group id, which must exist)"))
     if tr.table_optimizer == "adagrad":
         checks.append((d.dedup_lookup and tr.sparse_embed_update,
                        "table_optimizer='adagrad' requires data.dedup_lookup "

@@ -42,8 +42,14 @@ def dedupe_indices(
     at zero extra cost.
 
     idx: int32 [...]. Returns:
-      uniq_groups [u_cap // group] int32 (padded with 0) — GROUP ids; compact
-          row j corresponds to vocab row uniq_groups[j // group]*group + j%group
+      uniq_groups [u_cap // group] int32 — GROUP ids; compact row j corresponds
+          to vocab row uniq_groups[j // group]*group + j%group. Padding slots
+          carry an ABSENT group id (one not in the real prefix), so every slot
+          targets a distinct vocab group: the scatter-update kernels do
+          read-modify-write DMA per slot, and a padding slot duplicating a
+          real group could write back the stale pre-update rows (lost update).
+          Real slots are a sorted-strictly-increasing prefix; padding repeats
+          one absent id.
       inv  same shape as idx, int32 in [0, u_cap) — compact row per lookup
       keep_mask same shape, f32 — 0 where a lookup's group was dropped
           (overflow: rarest groups dropped; caller zeroes those weights)
@@ -70,7 +76,13 @@ def dedupe_indices(
         mask = np.ones_like(flat, dtype=np.float32)
         new_inv_g = inv_g
         uniq_out = uniq_g.astype(np.int32)
-        pad = np.zeros((g_cap - n,), dtype=np.int32)
+        # Pad with the smallest ABSENT group id so every slot targets a
+        # distinct vocab group (see docstring; uniq_out is sorted unique, so
+        # the first j with uniq_out[j] != j is absent). Config validation
+        # guarantees max_unique <= vocab_size, hence absent < V // group.
+        gaps = uniq_out - np.arange(n, dtype=np.int32)
+        absent = np.int32(np.searchsorted(gaps, 1))
+        pad = np.full((g_cap - n,), absent, dtype=np.int32)
     inv = new_inv_g * group + (flat % group)
     return (
         np.concatenate([uniq_out, pad]),

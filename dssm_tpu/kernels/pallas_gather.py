@@ -128,6 +128,117 @@ def _scatter_kernel(tg, group, gid_ref, vals_ref, table_in_ref, table_out_ref,
         wdma(r).wait()
 
 
+def _scatter_sr_kernel(tg, group, num_groups, gid_ref, seed_ref, vals_ref,
+                       table_in_ref, table_out_ref, scratch, read_sems,
+                       write_sems):
+    i = pl.program_id(0)
+    base = i * tg
+    # Fold the grid step into the seed: every 32-group block draws an
+    # independent stream; the caller varies seed_ref per train step and side.
+    pltpu.prng_seed(seed_ref[0], i)
+
+    def rdma(r):
+        return pltpu.make_async_copy(
+            table_out_ref.at[pl.ds(gid_ref[base + r] * group, group)],
+            scratch.at[pl.ds(r * group, group)],
+            read_sems.at[r],
+        )
+
+    def wdma(r):
+        return pltpu.make_async_copy(
+            scratch.at[pl.ds(r * group, group)],
+            table_out_ref.at[pl.ds(gid_ref[base + r] * group, group)],
+            write_sems.at[r],
+        )
+
+    # Out-of-range gids (>= num_groups) are skipped entirely: the sharded
+    # path marks not-owned groups with the sentinel num_groups so shards
+    # never RMW rows they don't own (a clipped duplicate would race the
+    # owner's set-write). Skipped slots leave stale scratch rows; computing
+    # through them is harmless because their writes never happen.
+    def when_valid(r, op):
+        @pl.when(gid_ref[base + r] < num_groups)
+        def _():
+            op()
+
+    for r in range(tg):
+        when_valid(r, rdma(r).start)
+    for r in range(tg):
+        when_valid(r, rdma(r).wait)
+    acc = scratch[:].astype(jnp.float32) + vals_ref[:].astype(jnp.float32)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(acc.shape), jnp.uint32)
+    scratch[:] = pltpu.stochastic_round(acc, bits,
+                                        target_dtype=scratch.dtype)
+    for r in range(tg):
+        when_valid(r, wdma(r).start)
+    for r in range(tg):
+        when_valid(r, wdma(r).wait)
+
+
+def scatter_sr_row_groups(
+    table: jax.Array,
+    gids: jax.Array,
+    vals: jax.Array,
+    group: int,
+    seed: jax.Array,
+    *,
+    interpret: bool = False,
+    groups_per_step: int = _GROUPS_PER_STEP,
+) -> jax.Array:
+    """table[rows of gids] = stochastic_round(f32(table rows) + f32(vals)).
+
+    The bf16-table update: the RMW scatter of scatter_add_row_groups with an
+    f32 accumulate and a stochastically-rounded write-back fused in (see
+    kernels/stochastic.py for why). SET semantics: gids must be fully
+    distinct (the dedupe pads slots with an absent group id, so they are);
+    a padding slot's vals are zero and its rounded write-back is bit-exact
+    (zero low bits cannot carry), leaving those rows untouched.
+
+    seed: int32 scalar (vary per step/side — the grid step is folded in
+    internally). gids >= V // group are skipped (sharded-table sentinel).
+    """
+    g = gids.shape[0]
+    v, h = table.shape
+    if v % group:
+        raise ValueError(f"vocab {v} not divisible by group {group}")
+    if jnp.dtype(table.dtype) != jnp.bfloat16:
+        raise ValueError(f"stochastic-round scatter needs a bf16 table, "
+                         f"got {table.dtype}")
+    tg = min(groups_per_step, g)
+    if g % tg:
+        raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g // tg,),
+        in_specs=[
+            pl.BlockSpec((tg * group, h), lambda i, gid_ref, seed_ref: (i, 0),
+                         memory_space=pltpu.VMEM),  # vals block (f32)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased to output)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((tg * group, h), table.dtype),
+            pltpu.SemaphoreType.DMA((tg,)),
+            pltpu.SemaphoreType.DMA((tg,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_scatter_sr_kernel, tg, group, v // group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v, h), table.dtype),
+        input_output_aliases={3: 0},  # operand 3 = table (gids, seed, vals, .)
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=g * group * h,
+            bytes_accessed=(2 * g * group * h * table.dtype.itemsize
+                            + g * group * h * 4),
+            transcendentals=0,
+        ),
+    )(gids, seed_arr, vals, table)
+
+
 def scatter_add_row_groups(
     table: jax.Array,
     gids: jax.Array,

@@ -96,6 +96,60 @@ def scatter_add_groups_sharded(
     )(table, uniq_groups, vals)
 
 
+def scatter_sr_groups_sharded(
+    table: jax.Array,
+    uniq_groups: jax.Array,
+    vals: jax.Array,
+    mesh: Mesh,
+    group: int,
+    seed: jax.Array,
+    model_axis: str = "model",
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Stochastic-rounding row-group SET into a vocab-sharded bf16 table.
+
+    Sharded analogue of pallas_gather.scatter_sr_row_groups: each shard
+    rewrites only its owned groups as stochastic_round(f32(rows) + vals).
+    Not-owned groups are remapped to the out-of-range sentinel (local group
+    count): the Pallas kernel skips their DMA entirely; the XLA fallback
+    drops their writes (scatter mode='drop'). Unlike the add path, a clipped
+    duplicate slot is NOT harmless under set semantics — it could overwrite
+    the owner's write with stale rows — hence the sentinel, never clipping.
+    """
+    mp = mesh.shape[model_axis]
+    v = table.shape[0]
+    groups_per_shard = (v // mp) // group
+
+    def local_fn(tbl, gids, lvals, lseed):
+        shard = jax.lax.axis_index(model_axis)
+        lo = shard * groups_per_shard
+        rel = gids - lo
+        owned = (rel >= 0) & (rel < groups_per_shard)
+        rel = jnp.where(owned, rel, groups_per_shard).astype(gids.dtype)
+        # Disjoint row ranges per shard; decorrelate streams anyway.
+        seed_local = lseed * jnp.int32(mp) + shard.astype(jnp.int32)
+        if use_pallas:
+            from dssm_tpu.kernels.pallas_gather import scatter_sr_row_groups
+
+            return scatter_sr_row_groups(tbl, rel, lvals, group, seed_local)
+        from dssm_tpu.kernels.stochastic import sr_add_rows
+
+        g = gids.shape[0]
+        rows = (rel[:, None] * group
+                + jnp.arange(group, dtype=rel.dtype)[None, :]).reshape(-1)
+        old = jnp.take(tbl, rows, axis=0, mode="clip")
+        new = sr_add_rows(old, lvals.reshape(g * group, -1), seed_local)
+        return tbl.at[rows].set(new, mode="drop")
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(model_axis, None), P(), P(), P()),
+        out_specs=P(model_axis, None),
+        check_vma=False,
+    )(table, uniq_groups, vals, jnp.asarray(seed, jnp.int32))
+
+
 def embedding_bag_sharded(
     table: jax.Array,
     idx: jax.Array,

@@ -38,8 +38,20 @@ def init_params(cfg: TowerConfig, seed: int = 0) -> Params:
         "lstm": lstm.init_tower,
     }[cfg.arch]
     if cfg.shared_weights:
-        return {"shared": init_one(cfg, seed)}
-    return {"query": init_one(cfg, seed), "doc": init_one(cfg, seed + 1)}
+        params = {"shared": init_one(cfg, seed)}
+    else:
+        params = {"query": init_one(cfg, seed), "doc": init_one(cfg, seed + 1)}
+    # The sparse first-layer table may use its own storage dtype (bf16 halves
+    # gather/scatter DMA bytes; updates use stochastic rounding).
+    if cfg.table_dtype_resolved != cfg.param_dtype:
+        import jax.numpy as jnp
+
+        td = jnp.dtype(cfg.table_dtype_resolved)
+        key = TABLE_KEY[cfg.arch]
+        params = {t: {k: (v.astype(td) if k == key else v)
+                      for k, v in tp.items()}
+                  for t, tp in params.items()}
+    return params
 
 
 def _arch_module(cfg: TowerConfig):

@@ -30,9 +30,14 @@ from dssm_tpu.kernels.dedup_embed import (
     gather_compact,
     lookup_from_compact,
 )
-from dssm_tpu.kernels.pallas_gather import scatter_add_row_groups, sublane_group
+from dssm_tpu.kernels.pallas_gather import (
+    scatter_add_row_groups,
+    scatter_sr_row_groups,
+    sublane_group,
+)
 from dssm_tpu.kernels.sharded_embed import (
     scatter_add_groups_sharded,
+    scatter_sr_groups_sharded,
     sharded_lookup_context,
 )
 from dssm_tpu.loss.cosine_softmax import in_batch_loss, rotate_loss
@@ -115,6 +120,7 @@ def make_parallel_sparse_step_body(
         new_dense = optax.apply_updates(dense, updates)
 
         new_params = {}
+        scatter_ix = 0  # per-scatter SR seed offset within the step
         for tower in params:
             tp = dict(new_dense[tower])
             table = params[tower][table_key]
@@ -122,7 +128,32 @@ def make_parallel_sparse_step_body(
             for side in sides:
                 g_c = g_cq if side == "q" else g_cd
                 compact = cq if side == "q" else cd
-                vals = table_update_vals(cfg, g_c, compact).astype(table.dtype)
+                vals = table_update_vals(cfg, g_c, compact)
+                sr = (jnp.dtype(table.dtype) == jnp.bfloat16
+                      and cfg.train.table_stochastic_round)
+                if sr:
+                    seed = (jnp.asarray(state.step, jnp.int32) * 4
+                            + scatter_ix)
+                    scatter_ix += 1
+                    vals = vals.astype(jnp.float32)
+                    if mp > 1:
+                        table = scatter_sr_groups_sharded(
+                            table, batch[f"{side}_uniq"], vals, mesh, group,
+                            seed, use_pallas=use_pallas_scatter,
+                        )
+                    elif use_pallas_scatter:
+                        table = scatter_sr_row_groups(
+                            table, batch[f"{side}_uniq"], vals, group, seed
+                        )
+                    else:
+                        from dssm_tpu.kernels.stochastic import sr_add_rows
+
+                        rows = expand_group_rows(batch[f"{side}_uniq"], group)
+                        old = jnp.take(table, rows, axis=0)
+                        table = table.at[rows].set(
+                            sr_add_rows(old, vals, seed))
+                    continue
+                vals = vals.astype(table.dtype)
                 if mp > 1:
                     table = scatter_add_groups_sharded(
                         table, batch[f"{side}_uniq"], vals, mesh, group,

@@ -199,6 +199,7 @@ def make_sparse_train_step_body(
         new_dense = optax.apply_updates(dense, updates)
 
         new_params = {}
+        scatter_ix = 0  # per-scatter SR seed offset within the step
         for tower in params:
             tp = dict(new_dense[tower])
             table = params[tower][table_key]
@@ -208,26 +209,46 @@ def make_sparse_train_step_body(
                     from dssm_tpu.kernels.dedup_embed import expand_group_rows
                     from dssm_tpu.kernels.pallas_gather import (
                         scatter_add_row_groups,
+                        scatter_sr_row_groups,
                         sublane_group,
                     )
 
                     g_c = g_cq if side == "q" else g_cd
                     compact = cq if side == "q" else cd
-                    vals = table_update_vals(cfg, g_c, compact).astype(
-                        table.dtype
-                    )
+                    vals = table_update_vals(cfg, g_c, compact)
                     group = sublane_group(table.dtype)
                     use_pallas_scatter = (
                         impl in ("pallas", "auto")
                         and jax.devices()[0].platform == "tpu"
                     )
-                    if use_pallas_scatter:
+                    sr = (jnp.dtype(table.dtype) == jnp.bfloat16
+                          and cfg.train.table_stochastic_round)
+                    if sr:
+                        seed = (jnp.asarray(state.step, jnp.int32) * 4
+                                + scatter_ix)
+                        scatter_ix += 1
+                        vals = vals.astype(jnp.float32)
+                        if use_pallas_scatter:
+                            table = scatter_sr_row_groups(
+                                table, batch[f"{side}_uniq"], vals, group,
+                                seed,
+                            )
+                        else:
+                            from dssm_tpu.kernels.stochastic import sr_add_rows
+
+                            rows = expand_group_rows(
+                                batch[f"{side}_uniq"], group)
+                            old = jnp.take(table, rows, axis=0)
+                            table = table.at[rows].set(
+                                sr_add_rows(old, vals, seed))
+                    elif use_pallas_scatter:
                         table = scatter_add_row_groups(
-                            table, batch[f"{side}_uniq"], vals, group
+                            table, batch[f"{side}_uniq"], vals.astype(
+                                table.dtype), group
                         )
                     else:
                         rows = expand_group_rows(batch[f"{side}_uniq"], group)
-                        table = table.at[rows].add(vals)
+                        table = table.at[rows].add(vals.astype(table.dtype))
                 else:
                     g = g_lq if side == "q" else g_ld
                     table = scatter_table_update(
