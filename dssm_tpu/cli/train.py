@@ -107,12 +107,23 @@ def main(argv: Optional[List[str]] = None) -> None:
           f"hosts={jax.process_count()} multi_device={multi_device}",
           file=sys.stderr)
 
-    # Data: the toy clickthrough corpus (real corpora plug in via data/).
-    pairs = make_toy_pairs(cfg.data.toy_num_pairs, cfg.data.toy_vocab_words,
-                           cfg.data.seed)
-    train_pairs, eval_pairs = train_eval_split(pairs, seed=cfg.data.seed)
-    hashed_train = hash_pairs(train_pairs, cfg.tower, cfg.data)
-    hashed_eval = hash_pairs(eval_pairs, cfg.tower, cfg.data)
+    if cfg.data.path:
+        # Real corpus from a TSV/JSONL file (data/corpus.py), hashed in
+        # chunks through the C++ data-plane.
+        from dssm_tpu.data import load_file_corpus
+
+        hashed_train, hashed_eval, _, _ = load_file_corpus(
+            cfg.tower, cfg.data)
+        print(f"corpus {cfg.data.path}: {len(hashed_train)} train / "
+              f"{len(hashed_eval)} eval pairs", file=sys.stderr)
+    else:
+        # The synthetic toy clickthrough corpus.
+        pairs = make_toy_pairs(cfg.data.toy_num_pairs,
+                               cfg.data.toy_vocab_words, cfg.data.seed)
+        train_pairs, eval_pairs = train_eval_split(
+            pairs, eval_frac=cfg.data.eval_frac, seed=cfg.data.seed)
+        hashed_train = hash_pairs(train_pairs, cfg.tower, cfg.data)
+        hashed_eval = hash_pairs(eval_pairs, cfg.tower, cfg.data)
 
     params = model_base.init_params(cfg.tower, seed=cfg.train.seed)
     table_dtype = params[next(iter(params))][

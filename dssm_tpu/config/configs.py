@@ -82,6 +82,11 @@ class DataConfig(_Replaceable):
     max_unique_rows: int = 1024
     toy_vocab_words: int = 512  # toy dataset: word vocabulary size
     toy_num_pairs: int = 4096  # toy dataset: number of query-title pairs
+    # File-backed corpus (data/corpus.py): .tsv/.txt ("query\ttitle" lines)
+    # or .jsonl ({"query":..., "title":...}). Empty = the toy generator.
+    path: str = ""
+    eval_frac: float = 0.1  # held-out fraction for the eval split
+    max_pairs: int = 0  # truncate the file corpus (0 = use all pairs)
     seed: int = 0
 
 

@@ -20,8 +20,7 @@ def main():
     from dssm_tpu.kernels.pallas_gather import (
         scatter_sr_row_groups, sublane_group)
     from dssm_tpu.models import base as model_base
-    from dssm_tpu.train.sparse_update import (
-        make_sparse_train_step_body, table_update_vals)
+    from dssm_tpu.train.sparse_update import make_sparse_train_step_body
     from dssm_tpu.loss.cosine_softmax import in_batch_loss
     from dssm_tpu.train.state import create_run_state
 
@@ -52,8 +51,7 @@ def main():
         def timed(name, body, carry0, iters=4):
             fn = jax.jit(lambda carry, xs: jax.lax.scan(body, carry, xs))
             carry, _ = fn(carry0, stacked)
-            jax.tree.map(lambda x: x.block_until_ready(),
-                         jax.tree.leaves(carry)[0])
+            jax.block_until_ready(carry)
             t0 = time.perf_counter()
             for _ in range(iters):
                 carry, _ = fn(carry, stacked)
@@ -121,12 +119,19 @@ def main():
 
         timed("gather + fwd + bwd", body_fwdbwd, table)
 
-        # 5. scatter only (SR for bf16, add for f32)
+        # 5. scatter only (SR for bf16, add for f32). Padding slots repeat one
+        # absent gid, so their vals rows must be ZERO (the RMW kernels require
+        # distinct gids wherever vals are nonzero — as in real training).
         h = table.shape[1]
         g_slots = batch["q_uniq"].shape[0]
-        vals = jax.device_put(
-            np.random.default_rng(0).normal(
-                size=(g_slots * group, h)).astype(np.float32) * 1e-4)
+        vals_np = np.random.default_rng(0).normal(
+            size=(g_slots * group, h)).astype(np.float32) * 1e-4
+        n_real = min(len(np.unique(batch["q_uniq"])),
+                     len(np.unique(batch["d_uniq"])))
+        vals_np[n_real * group:] = 0.0
+        vals = jax.device_put(vals_np)
+        print(f"[{tag}] real groups: q={len(np.unique(batch['q_uniq']))} "
+              f"d={len(np.unique(batch['d_uniq']))} of {g_slots} slots")
 
         def body_scatter(tbl, b):
             if jnp.dtype(tbl.dtype) == jnp.bfloat16:
