@@ -173,7 +173,10 @@ def main(argv: Optional[List[str]] = None) -> None:
             print(f"resumed from step {int(state.step)}", file=sys.stderr)
 
     start_step = int(state.step)
-    impl_eval = "xla"  # eval on changing tail shapes: keep XLA fallback
+    # Eval rides the training fast path (dedup compact-gather + Pallas
+    # kernels); tail batches are padded to one jit specialization
+    # (train/eval.py), so no shape-driven fallback is needed.
+    impl_eval = "auto" if cfg.train.use_pallas else "xla"
     profiling = profiled = False
     with ctx:
         t_last = time.perf_counter()

@@ -243,8 +243,11 @@ def _preset_multihost() -> RunConfig:
         tower=TowerConfig(arch="mlp", vocab_size=500_000, embed_width=300,
                           hidden_dims=(300,), semantic_dim=128,
                           compute_dtype="bfloat16"),
-        data=DataConfig(toy_vocab_words=8192, toy_num_pairs=131072),
-        mesh=MeshConfig(data_parallel=-1, model_parallel=1,
+        data=DataConfig(toy_vocab_words=8192, toy_num_pairs=131072,
+                        max_unique=16384, max_unique_rows=8192),
+        # Vocab-sharded embedding table (TP over 'model') + global negative
+        # pool over 'data' — the two BASELINE.json:11 requirements.
+        mesh=MeshConfig(data_parallel=-1, model_parallel=2,
                         global_negatives=True),
         train=TrainConfig(batch_size=65536),
     )
@@ -296,8 +299,12 @@ def validate(cfg: RunConfig) -> RunConfig:
                        f"of {group}"))
         checks.append((d.max_unique <= t.vocab_size,
                        f"data.max_unique {d.max_unique} must be <= "
-                       f"vocab_size {t.vocab_size} (dedupe pads unique-group "
-                       "slots with an absent group id, which must exist)"))
+                       f"vocab_size {t.vocab_size}"))
+        # Dedupe pads unused slots with SKIP_SENTINEL_GID (1 << 25), which
+        # must be out of range for every real group id.
+        checks.append((t.vocab_size // group < (1 << 25),
+                       f"tower.vocab_size {t.vocab_size} exceeds the dedupe "
+                       f"skip-sentinel bound ({(1 << 25)} groups of {group})"))
     if tr.table_optimizer == "adagrad":
         checks.append((d.dedup_lookup and tr.sparse_embed_update,
                        "table_optimizer='adagrad' requires data.dedup_lookup "

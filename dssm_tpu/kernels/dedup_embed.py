@@ -23,11 +23,20 @@ data-dependent memory access — which is exactly what the hardware wants.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Padding slots in uniq_groups carry this out-of-range group id. Every
+# consumer skips it: the Pallas gather/scatter kernels predicate their DMAs
+# on gid < V // group (so ~7/8 padding slots cost nothing instead of a full
+# row-group DMA each), the XLA gather fallback fills with zeros, and XLA
+# scatter fallbacks drop out-of-bounds rows. Chosen so sentinel * group + 7
+# still fits int32 for any supported sublane group (<= 32); config validation
+# guarantees real vocab group ids stay below it.
+SKIP_SENTINEL_GID = np.int32(1 << 25)
 
 
 def dedupe_indices(
@@ -44,12 +53,13 @@ def dedupe_indices(
     idx: int32 [...]. Returns:
       uniq_groups [u_cap // group] int32 — GROUP ids; compact row j corresponds
           to vocab row uniq_groups[j // group]*group + j%group. Padding slots
-          carry an ABSENT group id (one not in the real prefix), so every slot
-          targets a distinct vocab group: the scatter-update kernels do
-          read-modify-write DMA per slot, and a padding slot duplicating a
-          real group could write back the stale pre-update rows (lost update).
-          Real slots are a sorted-strictly-increasing prefix; padding repeats
-          one absent id.
+          carry SKIP_SENTINEL_GID (out of range for any real vocab): the
+          gather/scatter kernels skip their DMAs entirely — typically ~7/8 of
+          the slots are padding headroom, so this is the difference between
+          DMA-ing max_unique rows and DMA-ing only the rows the batch touches.
+          Being out of range also keeps RMW scatters race-free (no padding
+          slot can alias a real group's read-modify-write). Real slots are a
+          sorted-strictly-increasing prefix.
       inv  same shape as idx, int32 in [0, u_cap) — compact row per lookup
       keep_mask same shape, f32 — 0 where a lookup's group was dropped
           (overflow: rarest groups dropped; caller zeroes those weights)
@@ -76,13 +86,7 @@ def dedupe_indices(
         mask = np.ones_like(flat, dtype=np.float32)
         new_inv_g = inv_g
         uniq_out = uniq_g.astype(np.int32)
-        # Pad with the smallest ABSENT group id so every slot targets a
-        # distinct vocab group (see docstring; uniq_out is sorted unique, so
-        # the first j with uniq_out[j] != j is absent). Config validation
-        # guarantees max_unique <= vocab_size, hence absent < V // group.
-        gaps = uniq_out - np.arange(n, dtype=np.int32)
-        absent = np.int32(np.searchsorted(gaps, 1))
-        pad = np.full((g_cap - n,), absent, dtype=np.int32)
+        pad = np.full((g_cap - n,), SKIP_SENTINEL_GID, dtype=np.int32)
     inv = new_inv_g * group + (flat % group)
     return (
         np.concatenate([uniq_out, pad]),
@@ -230,24 +234,34 @@ def gather_compact(
 
     ctx = sharded_embed.current_context()
     if ctx is not None:
-        mesh, model_axis, _, _ = ctx
+        mesh, model_axis, _, base_impl = ctx
         if mesh.shape[model_axis] > 1:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             mp = mesh.shape[model_axis]
-            rows_per_shard = table.shape[0] // mp
-            rows = expand_group_rows(uniq_groups, group)
+            groups_per_shard = (table.shape[0] // mp) // group
 
-            def local_fn(tbl, r):
+            def local_fn(tbl, gids):
+                # Each 'model' shard group-gathers only the groups it owns;
+                # not-owned (and dedupe-padding) slots become the local
+                # out-of-range sentinel, which the Pallas kernel skips (no
+                # DMA) and the XLA fallback zero-fills — so the psum over
+                # 'model' reconstructs the full compact block.
                 shard = jax.lax.axis_index(model_axis)
-                lo = shard * rows_per_shard
-                rel = r - lo
-                owned = (rel >= 0) & (rel < rows_per_shard)
-                rel = jnp.clip(rel, 0, rows_per_shard - 1)
-                part = jnp.take(tbl, rel, axis=0) * owned[:, None].astype(
-                    tbl.dtype
-                )
+                lo = shard * groups_per_shard
+                rel = gids - lo
+                owned = (rel >= 0) & (rel < groups_per_shard)
+                rel = jnp.where(owned, rel, groups_per_shard).astype(
+                    gids.dtype)
+                if base_impl == "pallas":
+                    from dssm_tpu.kernels.pallas_gather import (
+                        gather_row_groups)
+
+                    part = gather_row_groups(tbl, rel, group)
+                else:
+                    part = jnp.take(tbl, expand_group_rows(rel, group),
+                                    axis=0, mode="fill", fill_value=0)
                 return jax.lax.psum(part, model_axis)
 
             return shard_map(
@@ -256,14 +270,17 @@ def gather_compact(
                 in_specs=(P(model_axis, None), P()),
                 out_specs=P(),
                 check_vma=False,
-            )(table, rows)
+            )(table, uniq_groups)
     if impl == "auto":
         impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     if impl == "pallas":
         from dssm_tpu.kernels.pallas_gather import gather_row_groups
 
         return gather_row_groups(table, uniq_groups, group)
-    return jnp.take(table, expand_group_rows(uniq_groups, group), axis=0)
+    # Sentinel padding slots (gid >= V // group) become zero rows, matching
+    # the Pallas kernel's skipped-slot semantics.
+    return jnp.take(table, expand_group_rows(uniq_groups, group), axis=0,
+                    mode="fill", fill_value=0)
 
 
 def dedup_embedding_bag(

@@ -153,6 +153,9 @@ def count_lookup_pallas(
     Returns None when shapes don't meet the kernel's tiling constraints
     (caller falls back to the XLA count_matrix path).
     """
+    from dssm_tpu.kernels.pallas_gather import interpret_forced
+
+    interpret = interpret or interpret_forced()
     k = inv.shape[-1]
     rows = 1
     for s in inv.shape[:-1]:

@@ -120,7 +120,7 @@ def _pallas_args(table, tr, k, group, rows, out_h, interpret):
             pl.BlockSpec((tr, out_h[1]) if out_h[0] == "g" else (tr, k),
                          lambda i, gid_ref: (i, 0),
                          memory_space=pltpu.VMEM),  # wgt (fwd) / g (bwd)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
         ],
         out_specs=pl.BlockSpec((tr, out_h[2]), lambda i, gid_ref: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -211,6 +211,9 @@ def embedding_bag_pallas(
     Returns None when shapes don't meet the kernel's constraints (caller
     falls back to embedding_bag_xla).
     """
+    from dssm_tpu.kernels.pallas_gather import interpret_forced
+
+    interpret = interpret or interpret_forced()
     group = sublane_group(table.dtype)
     v, h = table.shape
     k = idx.shape[-1]

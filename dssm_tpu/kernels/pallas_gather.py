@@ -14,22 +14,50 @@ DMA engines stream concurrently:
 Group ids arrive via PrefetchScalarGridSpec scalar prefetch so DMA source
 addresses are known before the kernel body runs.
 
-scatter_add_row_groups REQUIRES distinct group ids except entries whose val
-rows are all zero (the dedup pipeline guarantees this: uniq_groups is unique,
-padding slots carry zero gradients) — duplicate nonzero groups would race the
+OUT-OF-RANGE group ids (gid >= V // group) are SKIPPED by every kernel: no
+DMA is issued for that slot (gather zero-fills its output rows instead). The
+dedup pipeline pads unused uniq_groups slots with dedup_embed.
+SKIP_SENTINEL_GID, so only the rows a batch actually touches move — with
+max_unique sized for headroom (~8x the typical unique count) the skip cuts
+table DMA traffic by the same ~8x. The sharded paths reuse the sentinel for
+not-owned groups.
+
+scatter_add_row_groups REQUIRES distinct in-range group ids except entries
+whose val rows are all zero — duplicate nonzero groups would race the
 read-modify-write.
 """
 
 from __future__ import annotations
 
 import functools
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_GROUPS_PER_STEP = 32
+_GROUPS_PER_STEP = 64  # DMA-issue amortization; 128+ balloons Mosaic compile time, 256 exceeds sflag
+
+# Test hook: force interpret mode for every kernel in this module (and the
+# modules that consult it), so CPU tests can run the REAL kernel code paths —
+# including under shard_map/pjit meshes — without a TPU.
+_FORCE_INTERPRET = False
+
+
+@contextmanager
+def force_interpret():
+    global _FORCE_INTERPRET
+    prev = _FORCE_INTERPRET
+    _FORCE_INTERPRET = True
+    try:
+        yield
+    finally:
+        _FORCE_INTERPRET = prev
+
+
+def interpret_forced() -> bool:
+    return _FORCE_INTERPRET
 
 
 def sublane_group(dtype) -> int:
@@ -44,7 +72,7 @@ def sublane_group(dtype) -> int:
     raise ValueError(f"unsupported table dtype {dtype}")
 
 
-def _gather_kernel(tg, group, gid_ref, table_ref, out_ref, sems):
+def _gather_kernel(tg, group, num_groups, gid_ref, table_ref, out_ref, sems):
     i = pl.program_id(0)
     base = i * tg
 
@@ -55,10 +83,25 @@ def _gather_kernel(tg, group, gid_ref, table_ref, out_ref, sems):
             sems.at[r],
         )
 
+    # Sentinel slots (gid >= num_groups) issue no DMA; their output rows are
+    # zero-filled so downstream consumers (count matmuls, adagrad accumulator
+    # reads) see exact zeros, never stale VMEM bits.
     for r in range(tg):
-        dma(r).start()
+        valid = gid_ref[base + r] < num_groups
+
+        @pl.when(valid)
+        def _():
+            dma(r).start()
+
+        @pl.when(jnp.logical_not(valid))
+        def _():
+            out_ref[pl.ds(r * group, group)] = jnp.zeros(
+                (group, out_ref.shape[1]), out_ref.dtype
+            )
     for r in range(tg):
-        dma(r).wait()
+        @pl.when(gid_ref[base + r] < num_groups)
+        def _():
+            dma(r).wait()
 
 
 def gather_row_groups(
@@ -77,16 +120,17 @@ def gather_row_groups(
     tg = min(groups_per_step, g)
     if g % tg:
         raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
+    interpret = interpret or _FORCE_INTERPRET
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g // tg,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tg * group, h), lambda i, gid_ref: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((tg,))],
     )
     return pl.pallas_call(
-        functools.partial(_gather_kernel, tg, group),
+        functools.partial(_gather_kernel, tg, group, v // group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g * group, h), table.dtype),
         interpret=interpret,
@@ -98,8 +142,8 @@ def gather_row_groups(
     )(gids, table)
 
 
-def _scatter_kernel(tg, group, gid_ref, vals_ref, table_in_ref, table_out_ref,
-                    scratch, read_sems, write_sems):
+def _scatter_kernel(tg, group, num_groups, gid_ref, vals_ref, table_in_ref,
+                    table_out_ref, scratch, read_sems, write_sems):
     i = pl.program_id(0)
     base = i * tg
 
@@ -117,15 +161,23 @@ def _scatter_kernel(tg, group, gid_ref, vals_ref, table_in_ref, table_out_ref,
             write_sems.at[r],
         )
 
+    # Sentinel slots (gid >= num_groups: dedupe padding / not-owned shards)
+    # are skipped entirely. Their stale scratch rows flow through the add but
+    # are never written back — harmless.
+    def when_valid(r, op):
+        @pl.when(gid_ref[base + r] < num_groups)
+        def _():
+            op()
+
     for r in range(tg):
-        rdma(r).start()
+        when_valid(r, rdma(r).start)
     for r in range(tg):
-        rdma(r).wait()
+        when_valid(r, rdma(r).wait)
     scratch[:] = scratch[:] + vals_ref[:].astype(scratch.dtype)
     for r in range(tg):
-        wdma(r).start()
+        when_valid(r, wdma(r).start)
     for r in range(tg):
-        wdma(r).wait()
+        when_valid(r, wdma(r).wait)
 
 
 def _scatter_sr_kernel(tg, group, num_groups, gid_ref, seed_ref, vals_ref,
@@ -208,15 +260,16 @@ def scatter_sr_row_groups(
     if g % tg:
         raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
+    interpret = interpret or _FORCE_INTERPRET
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g // tg,),
         in_specs=[
             pl.BlockSpec((tg * group, h), lambda i, gid_ref, seed_ref: (i, 0),
                          memory_space=pltpu.VMEM),  # vals block (f32)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased to output)
+            pl.BlockSpec(memory_space=pl.ANY),  # table (aliased to output)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((tg * group, h), table.dtype),
             pltpu.SemaphoreType.DMA((tg,)),
@@ -259,15 +312,16 @@ def scatter_add_row_groups(
     tg = min(groups_per_step, g)
     if g % tg:
         raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
+    interpret = interpret or _FORCE_INTERPRET
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g // tg,),
         in_specs=[
             pl.BlockSpec((tg * group, h), lambda i, gid_ref: (i, 0),
                          memory_space=pltpu.VMEM),  # vals block
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table (aliased to output)
+            pl.BlockSpec(memory_space=pl.ANY),  # table (aliased to output)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((tg * group, h), table.dtype),
             pltpu.SemaphoreType.DMA((tg,)),
@@ -275,7 +329,7 @@ def scatter_add_row_groups(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, tg, group),
+        functools.partial(_scatter_kernel, tg, group, v // group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v, h), table.dtype),
         input_output_aliases={2: 0},  # operand 2 = table (after gids, vals)

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dssm_tpu.kernels.pallas_gather import interpret_forced
+
 _ROW_TILE = 256
 _COL_TILE = 512
 _NEG_INF = -1e30
@@ -126,6 +128,7 @@ def _fwd_call(qh, dh, labels, gamma, tr, tc):
             bytes_accessed=(b * d + bg * d) * 4 + 4 * b * 4,
             transcendentals=b * bg,
         ),
+        interpret=interpret_forced(),
     )(qh, dh, labels.reshape(b, 1).astype(jnp.int32))
 
 
@@ -201,6 +204,7 @@ def _bwd_call(qh, dh, labels, gamma, lse, g, tr, tc):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tr, d), jnp.float32)],
+        interpret=interpret_forced(),
     )(qh, dh, lab, lse2, g2)
 
     dd = pl.pallas_call(
@@ -217,6 +221,7 @@ def _bwd_call(qh, dh, labels, gamma, lse, g, tr, tc):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bg, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tc, d), jnp.float32)],
+        interpret=interpret_forced(),
     )(qh, dh, lab, lse2, g2)
     return dq, dd
 

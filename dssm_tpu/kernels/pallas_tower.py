@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dssm_tpu.kernels.pallas_gather import interpret_forced
 from dssm_tpu.kernels.tower import dense_tower_xla
 
 _BATCH_TILE = 256
@@ -115,6 +116,7 @@ def _tower_forward(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
+        interpret=interpret_forced(),
         cost_estimate=pl.CostEstimate(
             flops=b * flops_per_row,
             bytes_accessed=x.size * x.dtype.itemsize

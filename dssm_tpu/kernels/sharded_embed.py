@@ -68,7 +68,10 @@ def scatter_add_groups_sharded(
         lo = shard * groups_per_shard
         rel = gids - lo
         owned = (rel >= 0) & (rel < groups_per_shard)
-        rel = jnp.clip(rel, 0, groups_per_shard - 1)
+        # Not-owned groups (and dedupe sentinel padding) become the local
+        # out-of-range sentinel: the Pallas kernel skips their DMA entirely,
+        # the XLA fallback drops their writes.
+        rel = jnp.where(owned, rel, groups_per_shard).astype(gids.dtype)
         g = gids.shape[0]
         masked = lvals.reshape(g, group, -1) * owned[:, None, None].astype(
             lvals.dtype
@@ -76,16 +79,13 @@ def scatter_add_groups_sharded(
         if use_pallas:
             from dssm_tpu.kernels.pallas_gather import scatter_add_row_groups
 
-            # Not-owned groups scatter zeros into their clipped-local slot —
-            # a wasted but harmless RMW; uniqueness still holds per slot
-            # because clipping maps distinct gids onto boundary groups only
-            # with zero values.
             return scatter_add_row_groups(
                 tbl, rel, masked.reshape(g * group, -1), group
             )
         rows = (rel[:, None] * group
                 + jnp.arange(group, dtype=rel.dtype)[None, :]).reshape(-1)
-        return tbl.at[rows].add(masked.reshape(g * group, -1).astype(tbl.dtype))
+        return tbl.at[rows].add(masked.reshape(g * group, -1).astype(tbl.dtype),
+                                mode="drop")
 
     return shard_map(
         local_fn,

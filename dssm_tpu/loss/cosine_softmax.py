@@ -66,6 +66,61 @@ def in_batch_loss(
     raise ValueError(f"unknown impl {impl!r}")
 
 
+def in_batch_loss_sharded(
+    qh: jax.Array,
+    dh: jax.Array,
+    gamma: float,
+    mesh,
+    data_axis: str = "data",
+    *,
+    impl: str = "auto",
+    global_pool: bool = True,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Global-negative-pool loss as an EXPLICIT shard_map over `data_axis`.
+
+    Each shard all-gathers the doc embeddings over the data axis (ICI) and
+    runs the loss on its LOCAL query block x the GLOBAL doc pool — so the
+    fused flash-style streaming-logsumexp kernel (kernels/pallas_loss.py) is
+    what actually executes under SPMD (SURVEY.md §8 hard part 4), never
+    materializing the [B_local, B_global] logits in HBM. Autodiff through the
+    shard_map turns the all-gather's backward into the reduce-scatter
+    transpose (SURVEY.md §8 hard part 1).
+
+    qh, dh: [B_global, D] logical arrays (sharded or shardable P(data)).
+    Returns (loss, aux) replicated scalars, numerically equal to
+    in_batch_loss(qh, dh, gamma) when global_pool=True.
+
+    global_pool=False scores each query against its LOCAL shard's docs only
+    (B_local - 1 negatives) — the mesh.global_negatives=False configuration;
+    cheaper, not parity with the single-device loss.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(q, d):
+        b_local = q.shape[0]
+        if global_pool:
+            pool = jax.lax.all_gather(d, data_axis, axis=0, tiled=True)
+            offset = jax.lax.axis_index(data_axis) * b_local
+        else:
+            pool = d
+            offset = 0
+        labels = offset + jnp.arange(b_local, dtype=jnp.int32)
+        loss, aux = in_batch_loss(q, pool, gamma, labels, impl=impl)
+        # Equal-sized shards: pmean of per-shard means == global mean.
+        loss = jax.lax.pmean(loss, data_axis)
+        aux = {k: jax.lax.pmean(v, data_axis) for k, v in aux.items()}
+        return loss, aux
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(data_axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(qh, dh)
+
+
 def rotate_loss(
     qh: jax.Array,
     dh: jax.Array,

@@ -40,7 +40,11 @@ from dssm_tpu.kernels.sharded_embed import (
     scatter_sr_groups_sharded,
     sharded_lookup_context,
 )
-from dssm_tpu.loss.cosine_softmax import in_batch_loss, rotate_loss
+from dssm_tpu.loss.cosine_softmax import (
+    in_batch_loss,
+    in_batch_loss_sharded,
+    rotate_loss,
+)
 from dssm_tpu.models import base as model_base
 from dssm_tpu.models.base import TABLE_KEY
 from dssm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -70,6 +74,9 @@ def make_parallel_sparse_step_body(
     mp = cfg.mesh.model_parallel
     on_tpu = jax.devices()[0].platform == "tpu"
     use_pallas_scatter = impl in ("pallas", "auto") and on_tpu
+    # Resolved impl for the shard_map'd sharded-gather branch (an explicit
+    # "pallas" — e.g. interpret-mode CPU tests — is honored as given).
+    base_impl = impl if impl != "auto" else ("pallas" if on_tpu else "xla")
     batch_sh = NamedSharding(mesh, P(DATA_AXIS, None))
 
     def tab(params, side):
@@ -88,12 +95,18 @@ def make_parallel_sparse_step_body(
                                          lq, impl=impl)
         d = model_base.embed_from_lookup(dense_params, cfg.tower, "d", batch,
                                          ld, impl=impl)
-        # Towers stay batch-sharded; the q @ d.T inside the loss makes XLA
-        # all-gather d over 'data' — the global negative pool.
+        # Towers stay batch-sharded over 'data'.
         q = jax.lax.with_sharding_constraint(q, batch_sh)
         d = jax.lax.with_sharding_constraint(d, batch_sh)
         if cfg.loss.mode == "rotate":
             return rotate_loss(q, d, batch["rot_offsets"], cfg.loss.gamma)
+        if mesh.shape[DATA_AXIS] > 1:
+            # Explicit shard_map: all-gather the doc pool over 'data' and run
+            # the fused flash-style loss kernel on local-queries x global-pool.
+            return in_batch_loss_sharded(
+                q, d, cfg.loss.gamma, mesh, DATA_AXIS, impl=impl,
+                global_pool=cfg.mesh.global_negatives,
+            )
         return in_batch_loss(q, d, cfg.loss.gamma, impl=impl)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
@@ -105,7 +118,7 @@ def make_parallel_sparse_step_body(
             table = tab(params, side)
             if mp > 1:
                 with sharded_lookup_context(mesh, MODEL_AXIS, DATA_AXIS,
-                                            impl if impl != "auto" else "xla"):
+                                            base_impl):
                     return gather_compact(table, batch[f"{side}_uniq"], group,
                                           impl=impl)
             return gather_compact(table, batch[f"{side}_uniq"], group,
@@ -149,9 +162,10 @@ def make_parallel_sparse_step_body(
                         from dssm_tpu.kernels.stochastic import sr_add_rows
 
                         rows = expand_group_rows(batch[f"{side}_uniq"], group)
-                        old = jnp.take(table, rows, axis=0)
+                        old = jnp.take(table, rows, axis=0, mode="fill",
+                                       fill_value=0)
                         table = table.at[rows].set(
-                            sr_add_rows(old, vals, seed))
+                            sr_add_rows(old, vals, seed), mode="drop")
                     continue
                 vals = vals.astype(table.dtype)
                 if mp > 1:
@@ -165,7 +179,7 @@ def make_parallel_sparse_step_body(
                     )
                 else:
                     rows = expand_group_rows(batch[f"{side}_uniq"], group)
-                    table = table.at[rows].add(vals)
+                    table = table.at[rows].add(vals, mode="drop")
             tp[table_key] = table
             new_params[tower] = tp
         return TrainState(step=state.step + 1, params=new_params,

@@ -29,7 +29,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dssm_tpu.config import RunConfig
 from dssm_tpu.kernels.sharded_embed import sharded_lookup_context
-from dssm_tpu.loss.cosine_softmax import in_batch_loss, rotate_loss
+from dssm_tpu.loss.cosine_softmax import (
+    in_batch_loss,
+    in_batch_loss_sharded,
+    rotate_loss,
+)
 from dssm_tpu.models import base as model_base
 from dssm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 from dssm_tpu.train.state import TrainState, make_optimizer
@@ -179,12 +183,19 @@ def _make_dense_parallel_step_body(
                 embed = jax.checkpoint(embed)
             q = embed("q", batch)
             d = embed("d", batch)
-            # Keep tower outputs batch-sharded; the q @ d.T in the loss makes
-            # XLA all-gather d over 'data' — the global negative pool.
+            # Keep tower outputs batch-sharded over 'data'.
             q = jax.lax.with_sharding_constraint(q, NamedSharding(mesh, P(DATA_AXIS, None)))
             d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, P(DATA_AXIS, None)))
             if cfg.loss.mode == "rotate":
                 return rotate_loss(q, d, batch["rot_offsets"], cfg.loss.gamma)
+            if mesh.shape[DATA_AXIS] > 1:
+                # Explicit shard_map all-gather of the doc pool over 'data';
+                # the fused flash-style loss kernel runs under SPMD on
+                # local-queries x global-pool (SURVEY.md §8 hard part 4).
+                return in_batch_loss_sharded(
+                    q, d, cfg.loss.gamma, mesh, DATA_AXIS, impl=impl,
+                    global_pool=cfg.mesh.global_negatives,
+                )
             return in_batch_loss(q, d, cfg.loss.gamma, impl=impl)
 
         if sharded_tables:

@@ -1,0 +1,131 @@
+"""Serving path: embed a document corpus once, retrieve top-k per query.
+
+The reference has no serving story (SURVEY.md §2.1: "no serving layer") —
+this is framework surface the north star's "production deployment and
+serving" goal requires. Design:
+
+  build_doc_index: doc-tower forward over the corpus (the SAME fast path as
+      training: dedup compact-gather + Pallas kernels, padded tail batches)
+      -> [N, D] unit-norm f32 matrix.
+  top_k: brute-force scored on device, chunked over queries — one
+      [C, N] MXU matmul per chunk, never materializing [Q, N] on host.
+      Exact (cosine == dot for unit vectors); at DSSM's 128-d embeddings a
+      v5e chip scores ~10^9 docs/s per query chunk, so brute force covers
+      any corpus that fits HBM; beyond that, shard the index over 'data'
+      and psum-merge per-shard top-k (documented extension, not built).
+
+Index file format: .npz with `doc_emb` [N, D] f32 and `titles` [N] (object
+array of the indexed texts, for human-readable results).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dssm_tpu.config import RunConfig
+from dssm_tpu.models import base as model_base
+
+_QUERY_CHUNK = 1024
+
+
+def _embed_side(
+    params,
+    cfg: RunConfig,
+    texts: Sequence[str],
+    side: str,
+    batch_size: int = 256,
+    impl: str = "xla",
+) -> np.ndarray:
+    """Embed raw texts through one tower (fast path, padded tail batches)."""
+    from dssm_tpu.data import hash_pairs
+    from dssm_tpu.data.loader import eval_batches
+    from dssm_tpu.data.toy import ToyPairs
+    from dssm_tpu.kernels.pallas_gather import sublane_group
+    from dssm_tpu.train.eval import _pad_batch
+
+    # Hash through the standard pipeline; the unused side is hashed too
+    # (cheap, C++ data plane) to reuse the loader's batch structure.
+    pairs = ToyPairs(queries=list(texts), titles=list(texts))
+    hashed = hash_pairs(pairs, cfg.tower, cfg.data)
+    table = params[next(iter(params))][model_base.TABLE_KEY[cfg.tower.arch]]
+    group = sublane_group(table.dtype)
+
+    @jax.jit
+    def fwd(p, batch):
+        return model_base.embed(p, cfg.tower, side, batch, impl=impl)
+
+    outs = []
+    for batch in eval_batches(
+        hashed, batch_size, cfg.tower.is_sequence_model,
+        dedup_unique=cfg.data.max_unique if cfg.data.dedup_lookup else None,
+        dedup_group=group,
+        dedup_unique_rows=(cfg.data.max_unique_rows
+                           if cfg.data.dedup_lookup else None),
+    ):
+        n = batch["q_wgt"].shape[0]
+        emb = fwd(params, _pad_batch(batch, batch_size))
+        outs.append(np.asarray(emb[:n], dtype=np.float32))
+    return np.concatenate(outs)
+
+
+def build_doc_index(
+    params,
+    cfg: RunConfig,
+    titles: Sequence[str],
+    batch_size: int = 256,
+    impl: str = "xla",
+) -> np.ndarray:
+    """Doc-tower embeddings for the corpus -> [N, D] unit-norm f32."""
+    return _embed_side(params, cfg, titles, "d", batch_size, impl)
+
+
+def embed_queries(
+    params,
+    cfg: RunConfig,
+    queries: Sequence[str],
+    batch_size: int = 256,
+    impl: str = "xla",
+) -> np.ndarray:
+    return _embed_side(params, cfg, queries, "q", batch_size, impl)
+
+
+def save_index(path: str, doc_emb: np.ndarray, titles: Sequence[str]) -> None:
+    np.savez_compressed(path, doc_emb=doc_emb.astype(np.float32),
+                        titles=np.asarray(list(titles), dtype=object))
+
+
+def load_index(path: str) -> Tuple[np.ndarray, List[str]]:
+    with np.load(path, allow_pickle=True) as z:
+        return z["doc_emb"], list(z["titles"])
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _topk_chunk(qc: jax.Array, d_all: jax.Array, k: int):
+    s = jnp.dot(qc, d_all.T, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(s, k)
+
+
+def top_k(
+    query_emb: np.ndarray,
+    doc_emb: np.ndarray,
+    k: int = 10,
+    chunk: int = _QUERY_CHUNK,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact brute-force retrieval: (scores [Q, k], doc_ids [Q, k])."""
+    q = np.asarray(query_emb, dtype=np.float32)
+    n_q = q.shape[0]
+    k = min(k, doc_emb.shape[0])
+    d_dev = jnp.asarray(doc_emb, dtype=jnp.float32)
+    scores = np.empty((n_q, k), dtype=np.float32)
+    ids = np.empty((n_q, k), dtype=np.int64)
+    for lo in range(0, n_q, chunk):
+        hi = min(lo + chunk, n_q)
+        s, i = _topk_chunk(jnp.asarray(q[lo:hi]), d_dev, k)
+        scores[lo:hi] = np.asarray(s)
+        ids[lo:hi] = np.asarray(i)
+    return scores, ids

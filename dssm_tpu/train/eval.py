@@ -4,12 +4,18 @@ Reference: `accuracy` = fraction of rows where the positive out-ranks the NEG
 sampled candidates (SURVEY.md §3.1 row 7 [R-high]). The parity metrics for
 the build are Recall@1 and NDCG@10 over the full eval corpus (every query
 ranked against every eval doc, true doc = aligned title) — BASELINE.json:2.
+
+Eval runs the SAME fast path as training (VERDICT round 1 item 6): batches
+carry the dedup compact-gather fields, the tail batch is PADDED to the full
+batch size so one jit specialization (and the Pallas kernels' shape
+alignment) serves every batch, and ranking is computed chunk-by-chunk on
+device — the [N, N] score matrix never materializes on the host.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +25,26 @@ from dssm_tpu.config import RunConfig
 from dssm_tpu.data.loader import HashedPairs, eval_batches
 from dssm_tpu.models import base as model_base
 
+_RANK_CHUNK = 1024
+
+
+def _pad_batch(batch: Dict[str, np.ndarray], to_rows: int) -> Dict:
+    """Pad every batch-dim field to `to_rows` rows (repeating row 0; padded
+    rows are sliced off the embeddings afterwards). Replicated dedup fields
+    ({q,d}_uniq/_sel) are row-count independent and pass through."""
+    out = {}
+    for k, v in batch.items():
+        if k.endswith(("_uniq", "_sel")):
+            out[k] = v
+            continue
+        n = v.shape[0]
+        if n == to_rows:
+            out[k] = v
+        else:
+            pad = np.repeat(v[:1], to_rows - n, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+    return out
+
 
 def embed_corpus(
     params,
@@ -27,7 +53,17 @@ def embed_corpus(
     batch_size: int = 256,
     impl: str = "xla",
 ):
-    """Forward-only embed of the whole eval corpus -> (Q [N, D], Dm [N, D])."""
+    """Forward-only embed of the whole eval corpus -> (Q [N, D], Dm [N, D]).
+
+    Uses the dedup compact-gather lookup (the training fast path) whenever
+    the config enables it; tail batches are padded so every batch hits the
+    same compiled executable.
+    """
+    dedup = cfg.data.dedup_lookup
+    from dssm_tpu.kernels.pallas_gather import sublane_group
+
+    table = params[next(iter(params))][model_base.TABLE_KEY[cfg.tower.arch]]
+    group = sublane_group(table.dtype)
 
     @jax.jit
     def fwd(p, batch):
@@ -37,11 +73,57 @@ def embed_corpus(
         )
 
     qs, ds = [], []
-    for batch in eval_batches(hashed, batch_size, cfg.tower.is_sequence_model):
-        q, d = fwd(params, batch)
-        qs.append(np.asarray(q))
-        ds.append(np.asarray(d))
+    for batch in eval_batches(
+        hashed, batch_size, cfg.tower.is_sequence_model,
+        dedup_unique=cfg.data.max_unique if dedup else None,
+        dedup_group=group,
+        dedup_unique_rows=cfg.data.max_unique_rows if dedup else None,
+    ):
+        n = batch["q_wgt"].shape[0]
+        q, d = fwd(params, _pad_batch(batch, batch_size))
+        qs.append(np.asarray(q[:n]))
+        ds.append(np.asarray(d[:n]))
     return np.concatenate(qs), np.concatenate(ds)
+
+
+@jax.jit
+def _rank_chunk(qc: jax.Array, d_all: jax.Array, lo: jax.Array) -> jax.Array:
+    """ranks for the query chunk at row offset `lo`: 1 + #docs scoring
+    strictly above the true doc. The true score is read out of the SAME
+    device matmul as the candidates (s[i, lo+i]) so self-comparison is
+    bit-consistent — a separately-computed dot can differ in the last ulp
+    and spuriously out-rank the true doc. The [C, N] score block lives only
+    on device."""
+    s = jnp.dot(qc, d_all.T, preferred_element_type=jnp.float32)
+    idx = lo + jnp.arange(qc.shape[0], dtype=jnp.int32)
+    true_c = jnp.take_along_axis(s, idx[:, None], axis=1)
+    return 1 + jnp.sum((s > true_c).astype(jnp.int32), axis=1)
+
+
+def compute_ranks(q: np.ndarray, d: np.ndarray,
+                  chunk: int = _RANK_CHUNK) -> np.ndarray:
+    """Per-query rank of the aligned true doc, chunked on device — no [N, N]
+    host matrix (VERDICT round 1 weak item 3)."""
+    n = q.shape[0]
+    d_dev = jnp.asarray(d)
+    ranks = np.empty((n,), dtype=np.int64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        ranks[lo:hi] = np.asarray(
+            _rank_chunk(jnp.asarray(q[lo:hi]), d_dev, jnp.int32(lo))
+        )
+    return ranks
+
+
+def metrics_from_ranks(ranks: np.ndarray, ks=(1, 10)) -> Dict[str, float]:
+    out: Dict[str, float] = {}
+    for k in ks:
+        out[f"recall@{k}"] = float((ranks <= k).mean())
+    out["ndcg@10"] = float(
+        np.where(ranks <= 10, 1.0 / np.log2(1 + ranks), 0.0).mean())
+    out["mrr"] = float((1.0 / ranks).mean())
+    out["num_queries"] = float(ranks.shape[0])
+    return out
 
 
 def ranking_metrics(q: np.ndarray, d: np.ndarray, ks=(1, 10)) -> Dict[str, float]:
@@ -51,17 +133,7 @@ def ranking_metrics(q: np.ndarray, d: np.ndarray, ks=(1, 10)) -> Dict[str, float
     in the model's favor; with continuous embeddings exact ties are
     measure-zero).
     """
-    n = q.shape[0]
-    scores = q @ d.T  # [N, N]
-    true_scores = np.diag(scores)
-    ranks = 1 + (scores > true_scores[:, None]).sum(axis=1)  # [N]
-    out: Dict[str, float] = {}
-    for k in ks:
-        out[f"recall@{k}"] = float((ranks <= k).mean())
-    out["ndcg@10"] = float(np.where(ranks <= 10, 1.0 / np.log2(1 + ranks), 0.0).mean())
-    out["mrr"] = float((1.0 / ranks).mean())
-    out["num_queries"] = float(n)
-    return out
+    return metrics_from_ranks(compute_ranks(q, d), ks)
 
 
 def evaluate(

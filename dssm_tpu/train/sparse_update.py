@@ -238,9 +238,12 @@ def make_sparse_train_step_body(
 
                             rows = expand_group_rows(
                                 batch[f"{side}_uniq"], group)
-                            old = jnp.take(table, rows, axis=0)
+                            # Sentinel padding rows are out of range: read
+                            # zeros, drop the write-back.
+                            old = jnp.take(table, rows, axis=0, mode="fill",
+                                           fill_value=0)
                             table = table.at[rows].set(
-                                sr_add_rows(old, vals, seed))
+                                sr_add_rows(old, vals, seed), mode="drop")
                     elif use_pallas_scatter:
                         table = scatter_add_row_groups(
                             table, batch[f"{side}_uniq"], vals.astype(
@@ -248,7 +251,8 @@ def make_sparse_train_step_body(
                         )
                     else:
                         rows = expand_group_rows(batch[f"{side}_uniq"], group)
-                        table = table.at[rows].add(vals.astype(table.dtype))
+                        table = table.at[rows].add(vals.astype(table.dtype),
+                                                   mode="drop")
                 else:
                     g = g_lq if side == "q" else g_ld
                     table = scatter_table_update(

@@ -132,9 +132,12 @@ def test_sharded_embedding_grads_match():
 
 
 def test_hlo_contains_global_negative_pool_collectives():
-    """The compiled step must move doc embeddings with an all-gather whose
-    backward is a reduce-scatter (SURVEY.md §8 hard part 1) — or XLA's fused
-    equivalents; assert collective comms exist at all."""
+    """The compiled step must contain the doc-embedding all-gather over
+    'data' ([B_local, D] -> [B_global, D]) AND its reduce-scatter transpose
+    in the backward ([B_global, D] -> [B_local, D]) — SURVEY.md §8 hard
+    part 1, matched on operand shapes, not just substrings."""
+    import re
+
     cfg = _cfg(8, 1)
     mesh = mesh_lib.make_mesh(cfg.mesh)
     params = model_base.init_params(cfg.tower, seed=0)
@@ -145,7 +148,14 @@ def test_hlo_contains_global_negative_pool_collectives():
         lowered = jax.jit(step_fn).lower(state, batch)
         compiled = lowered.compile()
     txt = compiled.as_text()
-    assert ("all-gather" in txt) or ("all-reduce" in txt), txt[:2000]
+    d = cfg.tower.semantic_dim
+    b_global, b_local = B, B // 8
+    # fwd: the gathered doc pool [B_global, D] comes out of an all-gather
+    ag = re.search(rf"f32\[{b_global},{d}\]\S*\s+all-gather\(", txt)
+    assert ag, f"doc-pool all-gather [{b_global},{d}] missing:\n" + txt[:3000]
+    # bwd: its transpose reduce-scatters grads back to [B_local, D]
+    rs = re.search(rf"f32\[{b_local},{d}\]\S*\s+reduce-scatter\(", txt)
+    assert rs, f"grad reduce-scatter [{b_local},{d}] missing:\n" + txt[:3000]
 
 
 def test_mesh_validation():

@@ -1,11 +1,19 @@
 """Component-level timing of the Full-DSSM sparse train step on real TPU.
 
-Times each stage under a K-iteration lax.scan over stacked batches (the same
-amortization trick as bench.py's multi-step path, so the axon relay dispatch
-floor divides out). Stages nest cumulatively where natural so differences
-give per-stage cost.
+Methodology notes (hard-won on the axon relay):
+  - EVERY timed function donates its carry: a non-donated large buffer is
+    re-shipped through the relay each call, which swamps the measurement
+    (a 768 MB f32 table reads as ~1 s/call of phantom "compute").
+  - Timings force a VALUE fetch (float(...)) — block_until_ready is
+    unreliable on the relay.
+  - Each stage runs under a K-iteration lax.scan over stacked batches so the
+    ~0.8 ms relay dispatch floor divides out.
+
+Prints a per-stage table for the f32 and bf16 table configs, plus derived
+per-piece costs (stage deltas).
 """
 
+import sys
 import time
 
 import jax
@@ -14,9 +22,11 @@ import numpy as np
 
 
 def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     from dssm_tpu.config import get_preset, validate
     from dssm_tpu.data import hash_pairs, make_toy_pairs, select_batch
-    from dssm_tpu.kernels.dedup_embed import gather_compact, lookup_from_compact
+    from dssm_tpu.kernels.dedup_embed import (
+        count_matrix, gather_compact, lookup_from_compact)
     from dssm_tpu.kernels.pallas_gather import (
         scatter_sr_row_groups, sublane_group)
     from dssm_tpu.models import base as model_base
@@ -29,6 +39,8 @@ def main():
     K = 64
 
     for tag, c in (("f32", cfg), ("bf16", cfg16)):
+        if only and tag != only:
+            continue
         params = model_base.init_params(c.tower, seed=0)
         table_key = model_base.TABLE_KEY[c.tower.arch]
         tower0 = next(iter(params))
@@ -47,27 +59,85 @@ def main():
                    for k, v in batch.items()}
         state = create_run_state(c, params)
         compute_dtype = jnp.dtype(c.tower.compute_dtype)
+        n_real = len(np.unique(
+            batch["q_uniq"][batch["q_uniq"] < c.tower.vocab_size // group]))
+        print(f"[{tag}] real groups: q={n_real} of "
+              f"{batch['q_uniq'].shape[0]} slots "
+              f"(group={group}, max_unique_rows={c.data.max_unique_rows})")
 
-        def timed(name, body, carry0, iters=4):
-            fn = jax.jit(lambda carry, xs: jax.lax.scan(body, carry, xs))
-            carry, _ = fn(carry0, stacked)
-            jax.block_until_ready(carry)
+        def timed(name, body, carry0, iters=2):
+            # Donate the carry so the relay never re-ships it. The input
+            # buffer is CONSUMED — callers must not reuse carry0; the final
+            # carry is returned for chaining.
+            fn = jax.jit(lambda carry, xs: jax.lax.scan(body, carry, xs),
+                         donate_argnums=(0,))
+            carry, ys = fn(carry0, stacked)
+            float(jnp.sum(ys))  # force warmup to completion
             t0 = time.perf_counter()
             for _ in range(iters):
-                carry, _ = fn(carry, stacked)
-            leaf = jax.tree.leaves(carry)[0]
-            float(jnp.sum(jnp.ravel(leaf)[:1]))
+                carry, ys = fn(carry, stacked)
+            float(jnp.sum(ys))
             dt = (time.perf_counter() - t0) / (iters * K)
-            print(f"[{tag}] {name:34s} {dt*1e6:9.1f} us/step")
-            return dt
+            print(f"[{tag}] {name:34s} {dt*1e6:9.1f} us/step", flush=True)
+            return carry
+
+        # Stage inputs, computed before any donation consumes `table`.
+        cq0 = jax.jit(gather_compact, static_argnums=(2, 3))(
+            table, jnp.asarray(batch["q_uniq"]), group, "pallas")
+        gr = cq0.shape[0]
+        u2 = batch["q_sel"].shape[0]
+        # Independent device-side working copy for the chained table stages
+        # (the original stays alive inside `state` for the whole-step stage).
+        tbl_work = jax.jit(lambda t: t + 0)(table)
 
         # 1. gather only (both sides)
         def body_gather(tbl, b):
             cq = gather_compact(tbl, b["q_uniq"], group, impl="pallas")
             cd = gather_compact(tbl, b["d_uniq"], group, impl="pallas")
-            return tbl, cq[0, 0] + cd[0, 0]
+            return tbl, jnp.sum(cq[:, 0]) + jnp.sum(cd[:, 0])
 
-        timed("gather q+d", body_gather, table)
+        tbl_work = timed("gather q+d", body_gather, tbl_work)
+
+        def body_sel(cmp, b):
+            cols = jax.lax.broadcasted_iota(jnp.int32, (u2, gr), 1)
+            sel_oh = (b["q_sel"][:, None] == cols).astype(compute_dtype)
+            c2 = jnp.dot(sel_oh, cmp.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+            cols2 = jax.lax.broadcasted_iota(jnp.int32, (u2, gr), 1)
+            sel2 = (b["d_sel"][:, None] == cols2).astype(compute_dtype)
+            d2 = jnp.dot(sel2, cmp.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+            return cmp, jnp.sum(c2[:, 0]) + jnp.sum(d2[:, 0])
+
+        cq0 = timed("sel-matmul q+d", body_sel, cq0)
+
+        # 1c. count-build + count-matmul only (XLA path, from compact2)
+        compact2 = jnp.asarray(
+            np.random.default_rng(0).normal(size=(u2, cq0.shape[1]))
+            .astype(np.float32))
+
+        def body_count(c2, b):
+            cnt_q = count_matrix(b["q_inv"], b["q_wgt"], u2,
+                                 dtype=compute_dtype)
+            oq = jnp.dot(cnt_q, c2.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+            cnt_d = count_matrix(b["d_inv"], b["d_wgt"], u2,
+                                 dtype=compute_dtype)
+            od = jnp.dot(cnt_d, c2.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+            return c2, jnp.sum(oq[:, 0]) + jnp.sum(od[:, 0])
+
+        compact2 = timed("count+matmul q+d (XLA)", body_count, compact2)
+
+        # 1d. same via the fused Pallas count kernel
+        def body_count_p(c2, b):
+            from dssm_tpu.kernels.pallas_count import count_lookup_pallas
+
+            oq = count_lookup_pallas(c2, b["q_inv"], b["q_wgt"])
+            od = count_lookup_pallas(c2, b["d_inv"], b["d_wgt"])
+            return c2, jnp.sum(oq[:, 0]) + jnp.sum(od[:, 0])
+
+        compact2 = timed("count+matmul q+d (Pallas)", body_count_p, compact2)
 
         # 2. gather + compact lookup (fwd only)
         def body_lookup(tbl, b):
@@ -79,9 +149,9 @@ def main():
             ld = lookup_from_compact(cd, b["d_inv"], b["d_wgt"],
                                      compute_dtype, b.get("d_sel"),
                                      impl="pallas")
-            return tbl, lq[0, 0] + ld[0, 0]
+            return tbl, jnp.sum(lq[:, 0]) + jnp.sum(ld[:, 0])
 
-        timed("gather + lookup fwd", body_lookup, table)
+        tbl_work = timed("gather + lookup fwd", body_lookup, tbl_work)
 
         # 3. full fwd (towers + loss), no bwd
         dense = {t: {k: v for k, v in tp.items() if k != table_key}
@@ -106,7 +176,7 @@ def main():
             loss, aux = fwd(dense, cq, cd, b)
             return tbl, loss
 
-        timed("gather + full fwd", body_fwd, table)
+        tbl_work = timed("gather + full fwd", body_fwd, tbl_work)
 
         # 4. + backward
         def body_fwdbwd(tbl, b):
@@ -117,21 +187,17 @@ def main():
             g0 = jax.tree.leaves(grads)[0]
             return tbl, loss + jnp.ravel(g0)[0]
 
-        timed("gather + fwd + bwd", body_fwdbwd, table)
+        tbl_work = timed("gather + fwd + bwd", body_fwdbwd, tbl_work)
 
-        # 5. scatter only (SR for bf16, add for f32). Padding slots repeat one
-        # absent gid, so their vals rows must be ZERO (the RMW kernels require
-        # distinct gids wherever vals are nonzero — as in real training).
+        # 5. scatter only (SR for bf16, add for f32). Padding slots carry the
+        # out-of-range sentinel, which the kernels skip; their vals rows are
+        # zero as in real training.
         h = table.shape[1]
         g_slots = batch["q_uniq"].shape[0]
         vals_np = np.random.default_rng(0).normal(
             size=(g_slots * group, h)).astype(np.float32) * 1e-4
-        n_real = min(len(np.unique(batch["q_uniq"])),
-                     len(np.unique(batch["d_uniq"])))
         vals_np[n_real * group:] = 0.0
         vals = jax.device_put(vals_np)
-        print(f"[{tag}] real groups: q={len(np.unique(batch['q_uniq']))} "
-              f"d={len(np.unique(batch['d_uniq']))} of {g_slots} slots")
 
         def body_scatter(tbl, b):
             if jnp.dtype(tbl.dtype) == jnp.bfloat16:
@@ -147,7 +213,7 @@ def main():
                                             vals.astype(tbl.dtype), group)
             return t2, jnp.float32(0)
 
-        timed("scatter q+d", body_scatter, table)
+        tbl_work = timed("scatter q+d", body_scatter, tbl_work)
 
         # 6. whole step (reference)
         step_body = make_sparse_train_step_body(c, impl="pallas")
