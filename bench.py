@@ -61,6 +61,47 @@ def _measure_multi(multi_fn, state, batch, k, warmup=2, iters=8):
     return (time.perf_counter() - t0) / (iters * k)
 
 
+def _roofline_us(cfg, batch, table_dtype, n_real_groups, group):
+    """Additive bytes+FLOPs floor for one train step (printed so every
+    BENCH_r*.json records achieved-vs-roofline — VERDICT r1 item 1).
+
+    Model (v5e): HBM ~819 GB/s; MXU ~197 TFLOP/s bf16 / ~98 f32; VPU ~2e12
+    elementwise ops/s (the count one-hot build is VPU compares, not MXU).
+    Components: union gather (read rows + write compact), RMW scatter (2x
+    read + write), sel one-hot matmul, 2x count build + count matmul,
+    towers fwd+bwd (~3x fwd flops), loss matmul fwd+bwd.
+    """
+    import numpy as np
+
+    itemsize = np.dtype(table_dtype).itemsize
+    h = 384  # lane-padded table width at Full-DSSM shapes
+    b = cfg.train.batch_size
+    k = batch["q_inv"].shape[-1]
+    u2 = batch["sel"].shape[0] if "sel" in batch else batch["q_sel"].shape[0]
+    g_rows_real = n_real_groups * group
+    g_rows_cap = (batch["uniq"].shape[0] if "uniq" in batch
+                  else batch["q_uniq"].shape[0]) * group
+    sides = 1 if "uniq" in batch else 2
+
+    hbm = 819e9
+    mxu = 197e12 if cfg.tower.compute_dtype == "bfloat16" else 98e12
+    vpu = 2e12
+
+    gather_bytes = sides * g_rows_real * h * (itemsize + 4)  # read + f32 out
+    scatter_bytes = sides * g_rows_real * h * (2 * itemsize + 4)
+    sel_flops = sides * 2 * u2 * g_rows_cap * h
+    count_ops = 2 * 2 * b * u2 * k  # q+d, compare+fma per (row, slot, k)
+    count_mm = 2 * 2 * b * u2 * h
+    tower_flops = 2 * 3 * 2 * b * (384 * 300 + 300 * 300 + 300 * 128)
+    loss_flops = 3 * 2 * b * b * 128
+    us = (
+        (gather_bytes + scatter_bytes) / hbm
+        + (sel_flops + count_mm + tower_flops + loss_flops) / mxu
+        + count_ops / vpu
+    ) * 1e6
+    return us
+
+
 def main():
     import jax
 
@@ -90,6 +131,7 @@ def main():
         dedup_unique=cfg.data.max_unique,
         dedup_group=sublane_group(table.dtype),
         dedup_unique_rows=cfg.data.max_unique_rows,
+        dedup_joint=cfg.tower.shared_weights,
     )
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
@@ -147,6 +189,7 @@ def main():
                 dedup_unique=cfg16.data.max_unique,
                 dedup_group=sublane_group(table16.dtype),
                 dedup_unique_rows=cfg16.data.max_unique_rows,
+                dedup_joint=cfg16.tower.shared_weights,
             )
             batch16 = {key: jax.device_put(v) for key, v in batch16.items()}
             k = 64
@@ -160,6 +203,38 @@ def main():
                 value = batch_size / t_best
         except Exception as e:
             print(f"# bf16-table path failed: {e}", file=sys.stderr)
+
+    # Roofline ratio (bytes+FLOPs floor vs achieved) for the judged record.
+    try:
+        group = sublane_group(table.dtype)
+        key = "uniq" if "uniq" in batch else "q_uniq"
+        uniq_np = np.asarray(batch[key])
+        n_real = int(len(np.unique(
+            uniq_np[uniq_np < cfg.tower.vocab_size // group])))
+        rf = _roofline_us(cfg, batch, table.dtype, n_real, group)
+        print(f"# roofline: {rf:.0f} us/step floor; achieved "
+              f"{t_best*1e6:.0f} us/step = {t_best*1e6/rf:.1f}x roofline",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# roofline estimate failed: {e}", file=sys.stderr)
+
+    # Eval throughput on the same fast path (VERDICT r1 item 6).
+    try:
+        from dssm_tpu.train.eval import embed_corpus
+
+        impl = "auto" if platform == "tpu" else "xla"
+        n_eval = len(hashed)
+        t0 = time.perf_counter()
+        q, d = embed_corpus(params, cfg, hashed, batch_size, impl)
+        t_eval = time.perf_counter() - t0
+        # warm second pass (first includes compile)
+        t0 = time.perf_counter()
+        q, d = embed_corpus(params, cfg, hashed, batch_size, impl)
+        t_eval = time.perf_counter() - t0
+        print(f"# eval embed: {n_eval / t_eval:,.0f} pairs/s "
+              f"({t_eval*1e3:.0f} ms for {n_eval})", file=sys.stderr)
+    except Exception as e:
+        print(f"# eval bench failed: {e}", file=sys.stderr)
 
     result = {
         "metric": f"full_dssm_train_pairs_per_sec_per_chip[{platform}]",

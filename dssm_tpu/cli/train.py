@@ -139,6 +139,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         dedup_unique=cfg.data.max_unique if dedup else None,
         dedup_group=sublane_group(table_dtype),
         dedup_unique_rows=cfg.data.max_unique_rows,
+        dedup_joint=cfg.tower.shared_weights,
     )
     from dssm_tpu.data import prefetch
 
@@ -234,7 +235,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                     from dssm_tpu.io.metrics import weight_summaries
 
                     writer.write("weights", step,
-                                 weight_summaries(state.params))
+                                 weight_summaries(
+                                     state.params,
+                                     cfg.io.weight_histogram_bins))
                 print(f"eval@{step}: recall@1={ev['recall@1']:.3f} "
                       f"ndcg@10={ev['ndcg@10']:.3f}", file=sys.stderr)
             if (cfg.train.checkpoint_every and step

@@ -166,6 +166,9 @@ class IOConfig(_Replaceable):
     metrics_file: str = "metrics.jsonl"
     profile_dir: Optional[str] = None
     tensorboard: bool = False
+    # Bins for per-weight histograms in the periodic weight summaries
+    # (reference: tf.summary.histogram in variable_summaries). 0 = stats only.
+    weight_histogram_bins: int = 0
 
 
 @dataclass(frozen=True)
@@ -294,11 +297,15 @@ def validate(cfg: RunConfig) -> RunConfig:
                        f"tower.vocab_size {t.vocab_size} must be a multiple "
                        f"of {group} with dedup_lookup (DMA row-group "
                        f"alignment for {t.table_dtype_resolved} tables)"))
-        checks.append((d.max_unique % group == 0,
+        # max_unique is a row budget at f32 (8-row) granularity; the loader
+        # scales it so the group-SLOT count (max_unique // 8) is constant
+        # across table dtypes (data/loader.add_dedup_fields).
+        checks.append((d.max_unique % 8 == 0,
                        f"data.max_unique {d.max_unique} must be a multiple "
-                       f"of {group}"))
-        checks.append((d.max_unique <= t.vocab_size,
-                       f"data.max_unique {d.max_unique} must be <= "
+                       "of 8"))
+        checks.append(((d.max_unique // 8) * group <= t.vocab_size,
+                       f"data.max_unique {d.max_unique} (x{group // 8} for "
+                       f"{t.table_dtype_resolved} groups) must be <= "
                        f"vocab_size {t.vocab_size}"))
         # Dedupe pads unused slots with SKIP_SENTINEL_GID (1 << 25), which
         # must be out of range for every real group id.
@@ -309,6 +316,19 @@ def validate(cfg: RunConfig) -> RunConfig:
         checks.append((d.dedup_lookup and tr.sparse_embed_update,
                        "table_optimizer='adagrad' requires data.dedup_lookup "
                        "and train.sparse_embed_update"))
+        # The per-row accumulator lives in the table's LAST lane-padding
+        # column (train/sparse_update.table_update_vals) — the logical table
+        # width must not already fill the 128-lane tile, or the first step
+        # would silently corrupt a real weight column.
+        logical_w = {"mlp": t.embed_width,
+                     "cnn": t.conv_window * t.conv_channels,
+                     "lstm": t.embed_width}[t.arch] if t.arch in (
+                         "mlp", "cnn", "lstm") else 0
+        checks.append((logical_w % 128 != 0,
+                       f"table_optimizer='adagrad' needs a spare lane-padding "
+                       f"column: logical table width {logical_w} is a "
+                       f"multiple of 128 (widen/narrow tower.embed_width or "
+                       f"conv dims by 1+)"))
     if l.mode == "rotate":
         checks.append((l.num_negatives < tr.batch_size,
                        f"loss.num_negatives {l.num_negatives} must be < "

@@ -67,17 +67,47 @@ def hash_pairs(pairs: ToyPairs, tower: TowerConfig, data: DataConfig) -> HashedP
 
 
 def add_dedup_fields(batch: Batch, max_unique: int, group: int = 8,
-                     max_unique_rows: Optional[int] = None) -> Batch:
+                     max_unique_rows: Optional[int] = None,
+                     joint: bool = False) -> Batch:
     """Per-batch two-level index dedupe for the compact-gather + count-matmul
-    lookup (kernels/dedup_embed.py). Adds {q,d}_uniq (row-GROUP ids),
-    {q,d}_sel (unique-row slots), {q,d}_inv (slot per lookup);
-    dropped-overflow slots get weights zeroed. `group` must be the sublane
-    group of the table dtype (8 f32 / 16 bf16)."""
-    from dssm_tpu.kernels.dedup_embed import dedupe_two_level
+    lookup (kernels/dedup_embed.py). Dropped-overflow slots get weights
+    zeroed. `group` must be the sublane group of the table dtype (8 f32 /
+    16 bf16).
+
+    joint=False (separate tower tables): adds {q,d}_uniq (row-GROUP ids),
+    {q,d}_sel (unique-row slots), {q,d}_inv (slot per lookup).
+    joint=True (SHARED table — the canonical config): one UNION dedupe over
+    both sides, adding `uniq`, `sel`, and per-side {q,d}_inv — the train
+    step then does ONE gather + ONE scatter for both towers.
+
+    max_unique is a compact-row budget at f32 (8-row-group) granularity: the
+    GROUP-SLOT budget max_unique // 8 is what actually binds (one DMA per
+    slot), and it stays constant across table dtypes — a bf16 table (16-row
+    groups) gathers the same number of groups, each twice as tall, for the
+    same DMA byte count. Without this scaling a bf16 run would get half the
+    slots and silently drop the rarest groups' lookups.
+    """
+    from dssm_tpu.kernels.dedup_embed import (
+        dedupe_two_level, dedupe_two_level_joint)
 
     if max_unique_rows is None:
         max_unique_rows = max(256, max_unique // 8)
+    max_unique = (max_unique // 8) * group
     out = dict(batch)
+    if joint:
+        uniq, sel, q_inv, d_inv, q_keep, d_keep = dedupe_two_level_joint(
+            batch["q_idx"], batch["d_idx"], max_unique, max_unique_rows,
+            group,
+        )
+        out["uniq"] = uniq
+        out["sel"] = sel
+        out["q_inv"] = q_inv
+        out["d_inv"] = d_inv
+        if not np.all(q_keep == 1.0):
+            out["q_wgt"] = batch["q_wgt"] * q_keep
+        if not np.all(d_keep == 1.0):
+            out["d_wgt"] = batch["d_wgt"] * d_keep
+        return out
     for side in ("q", "d"):
         uniq, sel, inv, keep = dedupe_two_level(
             batch[f"{side}_idx"], max_unique, max_unique_rows, group
@@ -97,6 +127,7 @@ def select_batch(
     dedup_unique: Optional[int] = None,
     dedup_group: int = 8,
     dedup_unique_rows: Optional[int] = None,
+    dedup_joint: bool = False,
 ) -> Batch:
     if sequence:
         batch = {
@@ -116,7 +147,7 @@ def select_batch(
         }
     if dedup_unique:
         batch = add_dedup_fields(batch, dedup_unique, dedup_group,
-                                 dedup_unique_rows)
+                                 dedup_unique_rows, dedup_joint)
     return batch
 
 
@@ -131,6 +162,7 @@ def batch_iterator(
     dedup_unique: Optional[int] = None,
     dedup_group: int = 8,
     dedup_unique_rows: Optional[int] = None,
+    dedup_joint: bool = False,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -158,17 +190,20 @@ def batch_iterator(
                 # seed, same permutation) so the *_uniq fields are truly
                 # replicated across hosts; then slice this host's batch shard.
                 gbatch = select_batch(hashed, rows, sequence, dedup_unique,
-                                      dedup_group, dedup_unique_rows)
+                                      dedup_group, dedup_unique_rows,
+                                      dedup_joint)
                 lo = process_index * local
                 yield {
-                    k: (v if k.endswith(("_uniq", "_sel"))
+                    k: (v if k in ("uniq", "sel")
+                        or k.endswith(("_uniq", "_sel"))
                         else v[lo : lo + local])
                     for k, v in gbatch.items()
                 }
             else:
                 shard = rows[process_index * local : (process_index + 1) * local]
                 yield select_batch(hashed, shard, sequence, dedup_unique,
-                                   dedup_group, dedup_unique_rows)
+                                   dedup_group, dedup_unique_rows,
+                                   dedup_joint)
         epoch += 1
 
 
@@ -207,6 +242,7 @@ def eval_batches(
     hashed: HashedPairs, batch: int, sequence: bool = False,
     dedup_unique: Optional[int] = None, dedup_group: int = 8,
     dedup_unique_rows: Optional[int] = None,
+    dedup_joint: bool = False,
 ) -> Iterator[Batch]:
     """One pass over the eval corpus in order, including the ragged tail
     (a tail batch costs one extra jit specialization in eval — fine)."""
@@ -214,4 +250,4 @@ def eval_batches(
     for start in range(0, n, batch):
         rows = np.arange(start, min(start + batch, n))
         yield select_batch(hashed, rows, sequence, dedup_unique, dedup_group,
-                           dedup_unique_rows)
+                           dedup_unique_rows, dedup_joint)

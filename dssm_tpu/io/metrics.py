@@ -67,9 +67,14 @@ class MetricsWriter:
         self._tb_writers.clear()
 
 
-def weight_summaries(params) -> Dict[str, float]:
-    """Per-weight mean/stddev/min/max, the reference's variable_summaries()."""
-    out: Dict[str, float] = {}
+def weight_summaries(params, histogram_bins: int = 0) -> Dict:
+    """Per-weight mean/stddev/min/max, the reference's variable_summaries().
+
+    histogram_bins > 0 additionally emits a fixed-bin histogram per weight
+    (the reference's tf.summary.histogram analogue): lists of bin counts and
+    edges under <name>/hist_counts, <name>/hist_edges.
+    """
+    out: Dict = {}
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, leaf in flat:
         name = "/".join(
@@ -80,4 +85,11 @@ def weight_summaries(params) -> Dict[str, float]:
         out[f"{name}/stddev"] = float(jnp.std(x))
         out[f"{name}/min"] = float(jnp.min(x))
         out[f"{name}/max"] = float(jnp.max(x))
+        if histogram_bins > 0:
+            import numpy as np
+
+            counts, edges = np.histogram(
+                np.asarray(x, dtype=np.float32).ravel(), bins=histogram_bins)
+            out[f"{name}/hist_counts"] = counts.tolist()
+            out[f"{name}/hist_edges"] = [round(float(e), 6) for e in edges]
     return out

@@ -145,6 +145,52 @@ def dedupe_two_level(
     )
 
 
+def dedupe_two_level_joint(
+    q_idx: np.ndarray, d_idx: np.ndarray, g_cap_rows: int, u2_cap: int,
+    group: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray]:
+    """UNION two-level dedupe over both sides' indices — for SHARED-table
+    towers (the canonical DSSM configuration). One compact gather, one
+    row-selection, and one scatter-update then serve BOTH towers, halving
+    table DMA traffic vs per-side dedupe; the combined compact gradient also
+    makes row-wise AdaGrad exact (one accumulator update from the total
+    gradient instead of two sequential per-side approximations).
+
+    Returns (uniq_groups [G], row_sel [u2], q_inv, d_inv, q_keep, d_keep).
+    """
+    nq = q_idx.size
+    both = np.concatenate([q_idx.reshape(-1), d_idx.reshape(-1)])
+    uniq_groups, row_sel, inv2, keep = dedupe_two_level(
+        both, g_cap_rows, u2_cap, group)
+    return (
+        uniq_groups,
+        row_sel,
+        inv2[:nq].reshape(q_idx.shape),
+        inv2[nq:].reshape(d_idx.shape),
+        keep[:nq].reshape(q_idx.shape),
+        keep[nq:].reshape(d_idx.shape),
+    )
+
+
+def select_rows(
+    compact: jax.Array, row_sel: jax.Array, compute_dtype=jnp.float32
+) -> jax.Array:
+    """compact2 [u2, H] = compact[row_sel] via a one-hot-select MATMUL (no
+    row-serial gather). Differentiable in `compact` (linear). Split out of
+    lookup_from_compact so the joint-dedupe path computes it ONCE for both
+    towers."""
+    gr, _ = compact.shape
+    u2 = row_sel.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (u2, gr), 1)
+    sel_oh = jax.lax.stop_gradient(
+        (row_sel[:, None] == cols).astype(compute_dtype)
+    )
+    out = jnp.dot(sel_oh, compact.astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    return out.astype(compute_dtype)
+
+
 def count_matrix(
     inv: jax.Array, wgt: jax.Array, u: int, dtype=jnp.float32
 ) -> jax.Array:
@@ -184,20 +230,13 @@ def lookup_from_compact(
     Differentiable in `compact` (linear — XLA autodiff emits the transposed
     matmuls). inv/wgt/row_sel are data.
     """
-    gr, h = compact.shape
+    h = compact.shape[1]
     if row_sel is not None:
-        u2 = row_sel.shape[0]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (u2, gr), 1)
-        sel_oh = jax.lax.stop_gradient(
-            (row_sel[:, None] == cols).astype(compute_dtype)
-        )
-        compact2 = jnp.dot(sel_oh, compact.astype(compute_dtype),
-                           preferred_element_type=jnp.float32)
-        compact2 = compact2.astype(compute_dtype)
-        width = u2
+        compact2 = select_rows(compact, row_sel, compute_dtype)
+        width = row_sel.shape[0]
     else:
         compact2 = compact.astype(compute_dtype)
-        width = gr
+        width = compact.shape[0]
     if impl == "auto":
         impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     if impl == "pallas":

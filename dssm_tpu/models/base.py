@@ -75,18 +75,19 @@ def bag_lookup(
     from dssm_tpu.kernels.dedup_embed import dedup_embedding_bag
     from dssm_tpu.kernels.sparse_embed import embedding_bag
 
-    if f"{prefix}_uniq" in batch:
+    if "uniq" in batch or f"{prefix}_uniq" in batch:
         from dssm_tpu.kernels.pallas_gather import sublane_group
 
+        joint = "uniq" in batch
         out = dedup_embedding_bag(
             table,
-            batch[f"{prefix}_uniq"],
+            batch["uniq"] if joint else batch[f"{prefix}_uniq"],
             batch[f"{prefix}_inv"],
             batch[f"{prefix}_wgt"],
             jnp.dtype(cfg.compute_dtype),
             group=sublane_group(table.dtype),
             impl=impl,
-            row_sel=batch.get(f"{prefix}_sel"),
+            row_sel=batch["sel"] if joint else batch.get(f"{prefix}_sel"),
         )
     else:
         out = embedding_bag(

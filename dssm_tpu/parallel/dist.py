@@ -75,7 +75,8 @@ def make_global_batch(batch, mesh, stacked: bool = False):
     batch_spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
     out = {}
     for k, v in batch.items():
-        if k == "rot_offsets" or k.endswith("_uniq") or k.endswith("_sel"):
+        if (k in ("rot_offsets", "uniq", "sel")
+                or k.endswith("_uniq") or k.endswith("_sel")):
             sharding = NamedSharding(mesh, P())
             out[k] = jax.make_array_from_process_local_data(sharding, v)
         else:

@@ -84,13 +84,28 @@ def make_parallel_sparse_step_body(
             "query" if side == "q" else "doc")
         return params[tower][table_key]
 
+    def lookups(cq, cd, batch):
+        if "uniq" in batch:
+            # Union dedupe (shared table): cq is the single compact; ONE
+            # row-selection serves both towers.
+            from dssm_tpu.kernels.dedup_embed import select_rows
+
+            c2 = select_rows(cq, batch["sel"], compute_dtype)
+            lq = lookup_from_compact(c2, batch["q_inv"], batch["q_wgt"],
+                                     compute_dtype, None, impl=impl)
+            ld = lookup_from_compact(c2, batch["d_inv"], batch["d_wgt"],
+                                     compute_dtype, None, impl=impl)
+        else:
+            lq = lookup_from_compact(cq, batch["q_inv"], batch["q_wgt"],
+                                     compute_dtype, batch.get("q_sel"),
+                                     impl=impl)
+            ld = lookup_from_compact(cd, batch["d_inv"], batch["d_wgt"],
+                                     compute_dtype, batch.get("d_sel"),
+                                     impl=impl)
+        return lq.astype(compute_dtype), ld.astype(compute_dtype)
+
     def loss_from_compacts(dense_params, cq, cd, batch):
-        lq = lookup_from_compact(cq, batch["q_inv"], batch["q_wgt"],
-                                 compute_dtype, batch.get("q_sel"),
-                                 impl=impl).astype(compute_dtype)
-        ld = lookup_from_compact(cd, batch["d_inv"], batch["d_wgt"],
-                                 compute_dtype, batch.get("d_sel"),
-                                 impl=impl).astype(compute_dtype)
+        lq, ld = lookups(cq, cd, batch)
         q = model_base.embed_from_lookup(dense_params, cfg.tower, "q", batch,
                                          lq, impl=impl)
         d = model_base.embed_from_lookup(dense_params, cfg.tower, "d", batch,
@@ -109,22 +124,76 @@ def make_parallel_sparse_step_body(
             )
         return in_batch_loss(q, d, cfg.loss.gamma, impl=impl)
 
+    def gather_one(table, uniq, group):
+        if mp > 1:
+            with sharded_lookup_context(mesh, MODEL_AXIS, DATA_AXIS,
+                                        base_impl):
+                return gather_compact(table, uniq, group, impl=impl)
+        return gather_compact(table, uniq, group, impl=impl)
+
+    def apply_table_update(table, uniq, vals, seed, group):
+        """One row-group scatter-update: SR for bf16 tables, add otherwise;
+        shard-local over 'model' when the table is vocab-sharded."""
+        sr = (jnp.dtype(table.dtype) == jnp.bfloat16
+              and cfg.train.table_stochastic_round)
+        if sr:
+            vals = vals.astype(jnp.float32)
+            if mp > 1:
+                return scatter_sr_groups_sharded(
+                    table, uniq, vals, mesh, group, seed,
+                    use_pallas=use_pallas_scatter,
+                )
+            if use_pallas_scatter:
+                return scatter_sr_row_groups(table, uniq, vals, group, seed)
+            from dssm_tpu.kernels.stochastic import sr_add_rows
+
+            rows = expand_group_rows(uniq, group)
+            old = jnp.take(table, rows, axis=0, mode="fill", fill_value=0)
+            return table.at[rows].set(sr_add_rows(old, vals, seed),
+                                      mode="drop")
+        vals = vals.astype(table.dtype)
+        if mp > 1:
+            return scatter_add_groups_sharded(
+                table, uniq, vals, mesh, group,
+                use_pallas=use_pallas_scatter,
+            )
+        if use_pallas_scatter:
+            return scatter_add_row_groups(table, uniq, vals, group)
+        rows = expand_group_rows(uniq, group)
+        return table.at[rows].add(vals, mode="drop")
+
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         params = state.params
         dense = _dense_subtree(params, table_key)
         group = sublane_group(tab(params, "q").dtype)
 
-        def gather(side):
-            table = tab(params, side)
-            if mp > 1:
-                with sharded_lookup_context(mesh, MODEL_AXIS, DATA_AXIS,
-                                            base_impl):
-                    return gather_compact(table, batch[f"{side}_uniq"], group,
-                                          impl=impl)
-            return gather_compact(table, batch[f"{side}_uniq"], group,
-                                  impl=impl)
+        if "uniq" in batch:
+            # Union dedupe (shared table): one gather, one scatter.
+            if "shared" not in params:
+                raise ValueError(
+                    "joint-dedup batches (`uniq`) require shared_weights")
+            table = params["shared"][table_key]
+            c = gather_one(table, batch["uniq"], group)
 
-        cq, cd = gather("q"), gather("d")
+            def loss_joint(dense_params, c_, b):
+                return loss_from_compacts(dense_params, c_, None, b)
+
+            (loss, aux), (g_dense, g_c) = jax.value_and_grad(
+                loss_joint, argnums=(0, 1), has_aux=True
+            )(dense, c, batch)
+            updates, new_opt = tx.update(g_dense, state.opt_state, dense)
+            new_dense = optax.apply_updates(dense, updates)
+            vals = table_update_vals(cfg, g_c, c)
+            seed = jnp.asarray(state.step, jnp.int32) * 4
+            table = apply_table_update(table, batch["uniq"], vals, seed,
+                                       group)
+            tp = dict(new_dense["shared"])
+            tp[table_key] = table
+            return TrainState(step=state.step + 1, params={"shared": tp},
+                              opt_state=new_opt), aux
+
+        cq = gather_one(tab(params, "q"), batch["q_uniq"], group)
+        cd = gather_one(tab(params, "d"), batch["d_uniq"], group)
         (loss, aux), (g_dense, g_cq, g_cd) = jax.value_and_grad(
             loss_from_compacts, argnums=(0, 1, 2), has_aux=True
         )(dense, cq, cd, batch)
@@ -142,44 +211,10 @@ def make_parallel_sparse_step_body(
                 g_c = g_cq if side == "q" else g_cd
                 compact = cq if side == "q" else cd
                 vals = table_update_vals(cfg, g_c, compact)
-                sr = (jnp.dtype(table.dtype) == jnp.bfloat16
-                      and cfg.train.table_stochastic_round)
-                if sr:
-                    seed = (jnp.asarray(state.step, jnp.int32) * 4
-                            + scatter_ix)
-                    scatter_ix += 1
-                    vals = vals.astype(jnp.float32)
-                    if mp > 1:
-                        table = scatter_sr_groups_sharded(
-                            table, batch[f"{side}_uniq"], vals, mesh, group,
-                            seed, use_pallas=use_pallas_scatter,
-                        )
-                    elif use_pallas_scatter:
-                        table = scatter_sr_row_groups(
-                            table, batch[f"{side}_uniq"], vals, group, seed
-                        )
-                    else:
-                        from dssm_tpu.kernels.stochastic import sr_add_rows
-
-                        rows = expand_group_rows(batch[f"{side}_uniq"], group)
-                        old = jnp.take(table, rows, axis=0, mode="fill",
-                                       fill_value=0)
-                        table = table.at[rows].set(
-                            sr_add_rows(old, vals, seed), mode="drop")
-                    continue
-                vals = vals.astype(table.dtype)
-                if mp > 1:
-                    table = scatter_add_groups_sharded(
-                        table, batch[f"{side}_uniq"], vals, mesh, group,
-                        use_pallas=use_pallas_scatter,
-                    )
-                elif use_pallas_scatter:
-                    table = scatter_add_row_groups(
-                        table, batch[f"{side}_uniq"], vals, group
-                    )
-                else:
-                    rows = expand_group_rows(batch[f"{side}_uniq"], group)
-                    table = table.at[rows].add(vals, mode="drop")
+                seed = jnp.asarray(state.step, jnp.int32) * 4 + scatter_ix
+                scatter_ix += 1
+                table = apply_table_update(table, batch[f"{side}_uniq"],
+                                           vals, seed, group)
             tp[table_key] = table
             new_params[tower] = tp
         return TrainState(step=state.step + 1, params=new_params,

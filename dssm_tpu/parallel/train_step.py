@@ -69,8 +69,8 @@ def shard_batch(batch: Dict, mesh: Mesh, stacked: bool = False) -> Dict:
     # rot_offsets ([NEG]) and the dedup unique-row lists ([U]) are not
     # batch-dim data — replicate them.
     def pick(k):
-        return rep if (k == "rot_offsets" or k.endswith("_uniq")
-                       or k.endswith("_sel")) else sh
+        return rep if (k in ("rot_offsets", "uniq", "sel")
+                       or k.endswith("_uniq") or k.endswith("_sel")) else sh
 
     return {k: jax.device_put(v, pick(k)) for k, v in batch.items()}
 
@@ -120,7 +120,7 @@ def make_parallel_train_step(
         def dispatch(state, batch):
             # Batch structure is static per jit trace: dedup batches take the
             # sparse SPMD step, plain batches the dense one.
-            if "q_uniq" in batch:
+            if "q_uniq" in batch or "uniq" in batch:
                 return sparse_step(state, batch)
             return dense_step(state, batch)
 
@@ -153,7 +153,7 @@ def make_parallel_multi_step(
         sparse_multi = jit_scan(make_parallel_sparse_step_body(cfg, mesh, impl))
 
         def dispatch(state, batches):
-            if "q_uniq" in batches:
+            if "q_uniq" in batches or "uniq" in batches:
                 return sparse_multi(state, batches)
             return dense_multi(state, batches)
 

@@ -54,10 +54,12 @@ def _embed_side(
     hashed = hash_pairs(pairs, cfg.tower, cfg.data)
     table = params[next(iter(params))][model_base.TABLE_KEY[cfg.tower.arch]]
     group = sublane_group(table.dtype)
+    from dssm_tpu.train.eval import _embed_fwd
 
-    @jax.jit
+    fwd_both = _embed_fwd(cfg.tower, impl, side)
+
     def fwd(p, batch):
-        return model_base.embed(p, cfg.tower, side, batch, impl=impl)
+        return fwd_both(p, batch)[0]
 
     outs = []
     for batch in eval_batches(
@@ -66,6 +68,7 @@ def _embed_side(
         dedup_group=group,
         dedup_unique_rows=(cfg.data.max_unique_rows
                            if cfg.data.dedup_lookup else None),
+        dedup_joint=cfg.tower.shared_weights,
     ):
         n = batch["q_wgt"].shape[0]
         emb = fwd(params, _pad_batch(batch, batch_size))

@@ -34,7 +34,7 @@ def _pad_batch(batch: Dict[str, np.ndarray], to_rows: int) -> Dict:
     ({q,d}_uniq/_sel) are row-count independent and pass through."""
     out = {}
     for k, v in batch.items():
-        if k.endswith(("_uniq", "_sel")):
+        if k in ("uniq", "sel") or k.endswith(("_uniq", "_sel")):
             out[k] = v
             continue
         n = v.shape[0]
@@ -44,6 +44,22 @@ def _pad_batch(batch: Dict[str, np.ndarray], to_rows: int) -> Dict:
             pad = np.repeat(v[:1], to_rows - n, axis=0)
             out[k] = np.concatenate([v, pad], axis=0)
     return out
+
+
+@functools.lru_cache(maxsize=32)
+def _embed_fwd(tower_cfg, impl: str, sides: str):
+    """Jitted two-tower forward, cached on the (hashable frozen) tower
+    config — a closure re-jitted per embed_corpus call would recompile
+    every eval pass."""
+
+    @jax.jit
+    def fwd(p, batch):
+        return tuple(
+            model_base.embed(p, tower_cfg, s, batch, impl=impl)
+            for s in sides
+        )
+
+    return fwd
 
 
 def embed_corpus(
@@ -64,13 +80,7 @@ def embed_corpus(
 
     table = params[next(iter(params))][model_base.TABLE_KEY[cfg.tower.arch]]
     group = sublane_group(table.dtype)
-
-    @jax.jit
-    def fwd(p, batch):
-        return (
-            model_base.embed(p, cfg.tower, "q", batch, impl=impl),
-            model_base.embed(p, cfg.tower, "d", batch, impl=impl),
-        )
+    fwd = _embed_fwd(cfg.tower, impl, "qd")
 
     qs, ds = [], []
     for batch in eval_batches(
@@ -78,6 +88,7 @@ def embed_corpus(
         dedup_unique=cfg.data.max_unique if dedup else None,
         dedup_group=group,
         dedup_unique_rows=cfg.data.max_unique_rows if dedup else None,
+        dedup_joint=cfg.tower.shared_weights,
     ):
         n = batch["q_wgt"].shape[0]
         q, d = fwd(params, _pad_batch(batch, batch_size))

@@ -157,12 +157,84 @@ def make_sparse_train_step_body(
                                  impl=impl).astype(compute_dtype)
         return loss_from_lookups(dense_params, lq, ld, batch)
 
+    def loss_from_compact_joint(dense_params, c, batch):
+        # Shared table, union dedupe: ONE row-selection serves both towers;
+        # autodiff gives the COMBINED compact gradient (dq-side + dd-side) in
+        # a single array — one scatter updates the table for both.
+        from dssm_tpu.kernels.dedup_embed import (
+            lookup_from_compact, select_rows)
+
+        c2 = select_rows(c, batch["sel"], compute_dtype)
+        lq = lookup_from_compact(c2, batch["q_inv"], batch["q_wgt"],
+                                 compute_dtype, None,
+                                 impl=impl).astype(compute_dtype)
+        ld = lookup_from_compact(c2, batch["d_inv"], batch["d_wgt"],
+                                 compute_dtype, None,
+                                 impl=impl).astype(compute_dtype)
+        return loss_from_lookups(dense_params, lq, ld, batch)
+
+    def apply_table_update(table, uniq, vals, seed):
+        """One row-group scatter-update (SR for bf16 tables, add otherwise),
+        Pallas on TPU with XLA fallback; sentinel slots skipped/dropped."""
+        from dssm_tpu.kernels.dedup_embed import expand_group_rows
+        from dssm_tpu.kernels.pallas_gather import (
+            scatter_add_row_groups,
+            scatter_sr_row_groups,
+            sublane_group,
+        )
+
+        group = sublane_group(table.dtype)
+        use_pallas_scatter = (
+            impl in ("pallas", "auto")
+            and jax.devices()[0].platform == "tpu"
+        )
+        sr = (jnp.dtype(table.dtype) == jnp.bfloat16
+              and cfg.train.table_stochastic_round)
+        if sr:
+            vals = vals.astype(jnp.float32)
+            if use_pallas_scatter:
+                return scatter_sr_row_groups(table, uniq, vals, group, seed)
+            from dssm_tpu.kernels.stochastic import sr_add_rows
+
+            rows = expand_group_rows(uniq, group)
+            old = jnp.take(table, rows, axis=0, mode="fill", fill_value=0)
+            return table.at[rows].set(sr_add_rows(old, vals, seed),
+                                      mode="drop")
+        if use_pallas_scatter:
+            return scatter_add_row_groups(table, uniq,
+                                          vals.astype(table.dtype), group)
+        rows = expand_group_rows(uniq, group)
+        return table.at[rows].add(vals.astype(table.dtype), mode="drop")
+
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         from dssm_tpu.kernels.dedup_embed import gather_compact
 
         params = state.params
         dense = _dense_subtree(params, table_key)
         dedup = "q_uniq" in batch
+
+        if "uniq" in batch:
+            # Union dedupe (shared table): one gather, one scatter.
+            if "shared" not in params:
+                raise ValueError(
+                    "joint-dedup batches (`uniq`) require shared_weights")
+            from dssm_tpu.kernels.pallas_gather import sublane_group
+
+            table = params["shared"][table_key]
+            c = gather_compact(table, batch["uniq"],
+                               sublane_group(table.dtype), impl=impl)
+            (loss, aux), (g_dense, g_c) = jax.value_and_grad(
+                loss_from_compact_joint, argnums=(0, 1), has_aux=True
+            )(dense, c, batch)
+            updates, new_opt = tx.update(g_dense, state.opt_state, dense)
+            new_dense = optax.apply_updates(dense, updates)
+            vals = table_update_vals(cfg, g_c, c)
+            seed = jnp.asarray(state.step, jnp.int32) * 4
+            table = apply_table_update(table, batch["uniq"], vals, seed)
+            tp = dict(new_dense["shared"])
+            tp[table_key] = table
+            return TrainState(step=state.step + 1, params={"shared": tp},
+                              opt_state=new_opt), aux
 
         if dedup:
             # Differentiate at the compact-row boundary: the table update is
@@ -206,53 +278,14 @@ def make_sparse_train_step_body(
             sides = {"shared": ("q", "d"), "query": ("q",), "doc": ("d",)}[tower]
             for side in sides:
                 if dedup:
-                    from dssm_tpu.kernels.dedup_embed import expand_group_rows
-                    from dssm_tpu.kernels.pallas_gather import (
-                        scatter_add_row_groups,
-                        scatter_sr_row_groups,
-                        sublane_group,
-                    )
-
                     g_c = g_cq if side == "q" else g_cd
                     compact = cq if side == "q" else cd
                     vals = table_update_vals(cfg, g_c, compact)
-                    group = sublane_group(table.dtype)
-                    use_pallas_scatter = (
-                        impl in ("pallas", "auto")
-                        and jax.devices()[0].platform == "tpu"
-                    )
-                    sr = (jnp.dtype(table.dtype) == jnp.bfloat16
-                          and cfg.train.table_stochastic_round)
-                    if sr:
-                        seed = (jnp.asarray(state.step, jnp.int32) * 4
-                                + scatter_ix)
-                        scatter_ix += 1
-                        vals = vals.astype(jnp.float32)
-                        if use_pallas_scatter:
-                            table = scatter_sr_row_groups(
-                                table, batch[f"{side}_uniq"], vals, group,
-                                seed,
-                            )
-                        else:
-                            from dssm_tpu.kernels.stochastic import sr_add_rows
-
-                            rows = expand_group_rows(
-                                batch[f"{side}_uniq"], group)
-                            # Sentinel padding rows are out of range: read
-                            # zeros, drop the write-back.
-                            old = jnp.take(table, rows, axis=0, mode="fill",
-                                           fill_value=0)
-                            table = table.at[rows].set(
-                                sr_add_rows(old, vals, seed), mode="drop")
-                    elif use_pallas_scatter:
-                        table = scatter_add_row_groups(
-                            table, batch[f"{side}_uniq"], vals.astype(
-                                table.dtype), group
-                        )
-                    else:
-                        rows = expand_group_rows(batch[f"{side}_uniq"], group)
-                        table = table.at[rows].add(vals.astype(table.dtype),
-                                                   mode="drop")
+                    seed = (jnp.asarray(state.step, jnp.int32) * 4
+                            + scatter_ix)
+                    scatter_ix += 1
+                    table = apply_table_update(table, batch[f"{side}_uniq"],
+                                               vals, seed)
                 else:
                     g = g_lq if side == "q" else g_ld
                     table = scatter_table_update(

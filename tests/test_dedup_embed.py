@@ -148,6 +148,69 @@ def test_dedupe_two_level_row_overflow():
     np.testing.assert_array_equal(recon, idx[keep == 1.0])
 
 
+def test_dedupe_joint_roundtrip():
+    from dssm_tpu.kernels.dedup_embed import dedupe_two_level_joint
+
+    q = np.array([[5, 9, 5, 0], [9, 2, 0, 0]], dtype=np.int32)
+    d = np.array([[7, 9, 0, 3], [2, 2, 1, 0]], dtype=np.int32)
+    uniq, sel, q_inv, d_inv, q_keep, d_keep = dedupe_two_level_joint(
+        q, d, 16, 8, group=8)
+    assert (q_keep == 1.0).all() and (d_keep == 1.0).all()
+    rows_q = sel[q_inv]
+    rows_d = sel[d_inv]
+    np.testing.assert_array_equal(uniq[rows_q // 8] * 8 + rows_q % 8, q)
+    np.testing.assert_array_equal(uniq[rows_d // 8] * 8 + rows_d % 8, d)
+
+
+@pytest.mark.parametrize("arch", ["mlp"])
+def test_joint_dedup_train_step_matches_plain(arch):
+    """Union-dedupe (shared table: one gather + one scatter for both towers)
+    must match plain-batch training step-for-step."""
+    cfg = _cfg(arch)
+    assert cfg.tower.shared_weights
+    pairs = toy.make_toy_pairs(B, vocab_words=64, seed=33)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    plain = loader.select_batch(hashed, np.arange(B), False)
+    joint = loader.select_batch(hashed, np.arange(B), False,
+                                dedup_unique=cfg.data.max_unique,
+                                dedup_joint=True)
+    assert "uniq" in joint and "sel" in joint and "q_uniq" not in joint
+
+    step = make_train_step(cfg, impl="xla")
+    s1 = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    s2 = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    for i in range(3):
+        s1, a1 = step(s1, plain)
+        s2, a2 = step(s2, joint)
+        assert abs(float(a1["loss"]) - float(a2["loss"])) < 1e-5, i
+    for tower in s1.params:
+        for k in s1.params[tower]:
+            np.testing.assert_allclose(
+                np.asarray(s1.params[tower][k]), np.asarray(s2.params[tower][k]),
+                rtol=1e-4, atol=1e-6, err_msg=f"{tower}/{k}",
+            )
+
+
+def test_joint_dedup_adagrad_runs():
+    """Joint path + row-wise AdaGrad: the accumulator update comes from the
+    combined q+d gradient (exact, vs the per-side sequential approximation)."""
+    cfg = _cfg("mlp")
+    cfg = cfg.replace(train=cfg.train.replace(table_optimizer="adagrad"))
+    pairs = toy.make_toy_pairs(B, vocab_words=64, seed=35)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    joint = loader.select_batch(hashed, np.arange(B), False,
+                                dedup_unique=cfg.data.max_unique,
+                                dedup_joint=True)
+    step = make_train_step(cfg, impl="xla")
+    s = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    losses = []
+    for _ in range(5):
+        s, a = step(s, joint)
+        losses.append(float(a["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
 def test_two_level_lookup_matches_plain_bag():
     from dssm_tpu.kernels.dedup_embed import dedupe_two_level, gather_compact
 

@@ -23,7 +23,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(num_procs: int, dev_per_proc: int, tmpdir) -> list:
+def _run_workers(num_procs: int, dev_per_proc: int, tmpdir, steps=STEPS,
+                 mp=1, spc=1, workdir="", resume=False) -> list:
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -34,10 +35,14 @@ def _run_workers(num_procs: int, dev_per_proc: int, tmpdir) -> list:
     for pid in range(num_procs):
         out = os.path.join(tmpdir, f"out_{pid}.json")
         outs.append(out)
+        args = [sys.executable, WORKER, coordinator, str(num_procs), str(pid),
+                str(dev_per_proc), str(steps), out]
+        if mp != 1 or spc != 1 or workdir:
+            args += [str(mp), str(spc), workdir]
+            if resume:
+                args.append("resume")
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, coordinator, str(num_procs), str(pid),
-             str(dev_per_proc), str(STEPS), out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            args, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         ))
     logs = []
     for p in procs:
@@ -46,6 +51,37 @@ def _run_workers(num_procs: int, dev_per_proc: int, tmpdir) -> list:
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-3000:]
     return [json.load(open(o)) for o in outs]
+
+
+def test_matrix_mp_multistep_checkpoint(tmp_path):
+    """The full multi-host matrix in one scenario (VERDICT r1 item 8):
+    2 processes x 2 devices, vocab-sharded table (mp=2), 2 steps per
+    dispatch (lax.scan), checkpoint saved across processes, then a resumed
+    run restores the sharded state and continues from the saved step."""
+    work = str(tmp_path / "ckpt_run")
+    multi = _run_workers(2, 2, str(tmp_path), steps=8, mp=2, spc=2,
+                         workdir=work)
+    # Parity across processes and vs a single process with the same global
+    # batch and mesh shape.
+    np.testing.assert_allclose(multi[0]["losses"], multi[1]["losses"],
+                               rtol=1e-6)
+    (tmp_path / "single").mkdir()
+    single = _run_workers(1, 4, str(tmp_path / "single"), steps=8, mp=2,
+                          spc=2)
+    np.testing.assert_allclose(multi[0]["losses"], single[0]["losses"],
+                               rtol=1e-5, atol=1e-6)
+    assert multi[0]["losses"][-1] < multi[0]["losses"][0]
+
+    # Resume from the cross-process checkpoint and keep training.
+    (tmp_path / "resume").mkdir()
+    resumed = _run_workers(2, 2, str(tmp_path / "resume"), steps=4, mp=2,
+                           spc=2, workdir=work, resume=True)
+    assert resumed[0]["start_step"] == 8, resumed[0]
+    np.testing.assert_allclose(resumed[0]["losses"], resumed[1]["losses"],
+                               rtol=1e-6)
+    # Continuity: the resumed run picks up where training left off — its
+    # losses stay in the trained regime, not back at the init loss.
+    assert resumed[0]["losses"][0] < multi[0]["losses"][0]
 
 
 def test_two_process_matches_single_process(tmp_path):

