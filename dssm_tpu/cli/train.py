@@ -101,6 +101,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     from dssm_tpu.config import validate as validate_cfg
 
     cfg = validate_cfg(coerce_overrides(get_preset(preset), raw_overrides))
+    if cfg.io.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+        print("sanitizer: jax_debug_nans enabled (steps serialize; "
+              "FloatingPointError at the first NaN/Inf-producing op)",
+              file=sys.stderr)
     devices = jax.devices()
     multi_device = len(devices) > 1 or cfg.mesh.model_parallel > 1
     print(f"preset={cfg.name} devices={len(devices)}x{devices[0].platform} "

@@ -169,6 +169,11 @@ class IOConfig(_Replaceable):
     # Bins for per-weight histograms in the periodic weight summaries
     # (reference: tf.summary.histogram in variable_summaries). 0 = stats only.
     weight_histogram_bins: int = 0
+    # Numeric sanitizer: jax_debug_nans re-runs any op that produced a
+    # NaN/Inf un-jitted and raises FloatingPointError at the exact op
+    # (SURVEY §6.2). Debug-only — disables async dispatch, so steps
+    # serialize; never leave on in production runs.
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)
