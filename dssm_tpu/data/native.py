@@ -92,6 +92,30 @@ def hash_batch(
     return idx, wgt
 
 
+def dedupe_two_level(
+    idx: np.ndarray, g_cap_rows: int, u2_cap: int, group: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """C++ two-level batch dedupe (see kernels/dedup_embed.dedupe_two_level
+    for semantics — bit-exact parity asserted in tests/test_native.py).
+    Returns None when the extension isn't available."""
+    mod = get_module()
+    if mod is None or not hasattr(mod, "dedupe_two_level"):
+        return None
+    flat = np.ascontiguousarray(idx, dtype=np.int32)
+    # numpy arrays satisfy the y* buffer protocol — no .tobytes() copy.
+    uniq_b, sel_b, inv_b, keep_b = mod.dedupe_two_level(
+        flat.reshape(-1), g_cap_rows, u2_cap, group
+    )
+    uniq = np.frombuffer(uniq_b, dtype=np.int32).copy()
+    sel = np.frombuffer(sel_b, dtype=np.int32).copy()
+    # inv2/keep stay zero-copy views over the result bytes (read-only — they
+    # are consumed as-is by device_put / arithmetic): at the multihost batch
+    # these are 33 MB each and the copy pass costs more than the dedupe.
+    inv2 = np.frombuffer(inv_b, dtype=np.int32).reshape(idx.shape)
+    keep = np.frombuffer(keep_b, dtype=np.float32).reshape(idx.shape)
+    return uniq, sel, inv2, keep
+
+
 def hash_batch_sequence(
     texts, vocab_size: int, t: int, kw: int, normalize: bool = False
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

@@ -113,7 +113,25 @@ def dedupe_two_level(
       inv2        same shape as idx, int32 in [0, u2_cap) — unique-row slot
                   per lookup
       keep_mask   same shape, f32 — 0 where a lookup overflowed either cap
+
+    Routes through the C++ data-plane (native/dssm_native.cpp) when built —
+    hash-map counting instead of numpy's O(n log n) full sorts, GIL released
+    so the loader's prefetch thread overlaps device steps. Bit-exact with the
+    numpy path below (tests/test_native.py).
     """
+    from dssm_tpu.data import native as _native
+
+    fast = _native.dedupe_two_level(idx, g_cap_rows, u2_cap, group)
+    if fast is not None:
+        return fast
+    return dedupe_two_level_numpy(idx, g_cap_rows, u2_cap, group)
+
+
+def dedupe_two_level_numpy(
+    idx: np.ndarray, g_cap_rows: int, u2_cap: int, group: int = 8
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pure-numpy reference for dedupe_two_level (the fallback when the C++
+    extension isn't built, and the parity oracle for it)."""
     uniq_groups, inv, keep = dedupe_indices(idx, g_cap_rows, group)
     flat_inv = inv.reshape(-1)
     flat_keep = keep.reshape(-1)

@@ -180,7 +180,11 @@ PyObject* py_hash_batch(PyObject*, PyObject* args) {
     Py_XDECREF(wgt_b);
     return nullptr;
   }
-  return PyTuple_Pack(2, idx_b, wgt_b);
+  // PyTuple_Pack takes NEW references; drop ours or the bytes leak.
+  PyObject* out = PyTuple_Pack(2, idx_b, wgt_b);
+  Py_DECREF(idx_b);
+  Py_DECREF(wgt_b);
+  return out;
 }
 
 // hash_batch_sequence(texts, vocab, t, kw, normalize)
@@ -233,7 +237,191 @@ PyObject* py_hash_batch_sequence(PyObject*, PyObject* args) {
     Py_XDECREF(mask_b);
     return nullptr;
   }
-  return PyTuple_Pack(3, idx_b, wgt_b, mask_b);
+  PyObject* out = PyTuple_Pack(3, idx_b, wgt_b, mask_b);
+  Py_DECREF(idx_b);
+  Py_DECREF(wgt_b);
+  Py_DECREF(mask_b);
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// Two-level batch dedupe (bit-exact with dssm_tpu/kernels/dedup_embed.py's
+// dedupe_two_level — tests/test_native.py asserts parity).
+//
+// The per-batch host dedupe is the other hot loop of the input pipeline: at
+// the multihost preset's global batch (65,536 x 64 indices x 2 sides) the
+// numpy path is ~4M-element sorts per side per step on one thread.  Here:
+// hash-map counting + one sort over the UNIQUE ids only (~1-100k, not ~4M),
+// GIL released so the prefetch thread overlaps device steps.
+
+constexpr int32_t kSkipSentinelGid = 1 << 25;  // dedup_embed.SKIP_SENTINEL_GID
+
+// Select the ids to keep under a cap: by (count desc, id asc), result sorted
+// by id asc. Matches numpy argsort(-counts, stable)[:cap] over ids that were
+// sorted ascending (rank order == id order), then keep.sort().
+void top_by_count(std::vector<std::pair<int32_t, int64_t>>* id_counts,
+                  size_t cap, std::vector<int32_t>* kept_sorted) {
+  std::sort(id_counts->begin(), id_counts->end(),
+            [](const auto& a, const auto& b) {
+              if (a.second != b.second) return a.second > b.second;
+              return a.first < b.first;
+            });
+  size_t n = std::min(cap, id_counts->size());
+  kept_sorted->resize(n);
+  for (size_t j = 0; j < n; ++j) (*kept_sorted)[j] = (*id_counts)[j].first;
+  std::sort(kept_sorted->begin(), kept_sorted->end());
+}
+
+// dedupe_two_level(idx_bytes, n, g_cap_rows, u2_cap, group)
+//   -> (uniq_groups_bytes [g_cap_rows/group] i32, row_sel_bytes [u2_cap] i32,
+//       inv2_bytes [n] i32, keep_bytes [n] f32)
+PyObject* py_dedupe_two_level(PyObject*, PyObject* args) {
+  Py_buffer idx_buf;
+  long long g_cap_rows, u2_cap, group;
+  if (!PyArg_ParseTuple(args, "y*LLL", &idx_buf, &g_cap_rows, &u2_cap,
+                        &group)) {
+    return nullptr;
+  }
+  if (group <= 0 || g_cap_rows % group != 0) {
+    PyBuffer_Release(&idx_buf);
+    PyErr_SetString(PyExc_ValueError, "g_cap_rows not divisible by group");
+    return nullptr;
+  }
+  if ((group & (group - 1)) != 0) {
+    PyBuffer_Release(&idx_buf);
+    PyErr_SetString(PyExc_ValueError, "group must be a power of two");
+    return nullptr;
+  }
+  const size_t n = static_cast<size_t>(idx_buf.len) / sizeof(int32_t);
+  const int32_t* idx = static_cast<const int32_t*>(idx_buf.buf);
+  const size_t g_cap = static_cast<size_t>(g_cap_rows / group);
+
+  // Outputs are written straight into the result PyBytes buffers: at the
+  // multihost batch (8.4M indices) the extra vector->bytes copies — and the
+  // kernel page faults of zero-filling fresh 33MB vectors — cost more than
+  // all the dedupe compute combined (measured ~400ms vs ~60ms).
+  std::vector<int32_t> uniq_groups(g_cap, kSkipSentinelGid);
+  std::vector<int32_t> row_sel(static_cast<size_t>(u2_cap), 0);
+  PyObject* inv_obj = PyBytes_FromStringAndSize(nullptr,
+                                                static_cast<Py_ssize_t>(n * 4));
+  PyObject* keep_obj = PyBytes_FromStringAndSize(
+      nullptr, static_cast<Py_ssize_t>(n * 4));
+  if (!inv_obj || !keep_obj) {
+    Py_XDECREF(inv_obj);
+    Py_XDECREF(keep_obj);
+    PyBuffer_Release(&idx_buf);
+    return nullptr;
+  }
+  int32_t* inv2 = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(inv_obj));
+  float* keep = reinterpret_cast<float*>(PyBytes_AS_STRING(keep_obj));
+  {
+    Py_BEGIN_ALLOW_THREADS;
+    const int32_t grp = static_cast<int32_t>(group);
+    int shift = 0;
+    while ((1 << shift) < grp) ++shift;
+    const int32_t mask = grp - 1;
+    // Group-id range: vocab sizes here are <= a few million, so a dense
+    // count/rank array per gid (vocab/group entries) is small and turns every
+    // per-element map lookup into an array access (4x over unordered_map,
+    // measured at the 8.4M-index multihost batch).
+    int32_t max_gid = 0;
+    for (size_t i = 0; i < n; ++i) {
+      const int32_t g = idx[i] >> shift;
+      if (g > max_gid) max_gid = g;
+    }
+    const size_t gspan = static_cast<size_t>(max_gid) + 1;
+    // Level 1: count per GROUP id, keep top g_cap by (count desc, gid asc).
+    std::vector<int64_t> gcount(gspan, 0);
+    for (size_t i = 0; i < n; ++i) ++gcount[idx[i] >> shift];
+    std::vector<int32_t> kept_g;
+    size_t n_gids = 0;
+    for (size_t g = 0; g < gspan; ++g) n_gids += (gcount[g] != 0);
+    if (n_gids > g_cap) {
+      std::vector<std::pair<int32_t, int64_t>> items;
+      items.reserve(n_gids);
+      for (size_t g = 0; g < gspan; ++g) {
+        if (gcount[g]) items.push_back({static_cast<int32_t>(g), gcount[g]});
+      }
+      top_by_count(&items, g_cap, &kept_g);
+    } else {
+      kept_g.reserve(n_gids);
+      for (size_t g = 0; g < gspan; ++g) {
+        if (gcount[g]) kept_g.push_back(static_cast<int32_t>(g));
+      }
+    }
+    std::vector<int32_t> grank(gspan, -1);  // gid -> compact group slot
+    for (size_t j = 0; j < kept_g.size(); ++j) {
+      grank[kept_g[j]] = static_cast<int32_t>(j);
+      uniq_groups[j] = kept_g[j];
+    }
+    // Level 1 inverse (compact ROW id per lookup) + level-2 row counts.
+    // Compact row ids are < g_cap * group == g_cap_rows: dense again.
+    // Scratch reused across calls (thread_local): zero-filling fresh pages
+    // for these per call costs more than the passes that use them.
+    thread_local std::vector<int32_t> inv1;
+    thread_local std::vector<uint8_t> keep1;
+    if (inv1.size() < n) inv1.resize(n);
+    if (keep1.size() < n) keep1.resize(n);
+    std::vector<int64_t> rcount(static_cast<size_t>(g_cap_rows), 0);
+    for (size_t i = 0; i < n; ++i) {
+      const int32_t gid = idx[i] >> shift;
+      const int32_t off = idx[i] & mask;
+      const int32_t r = grank[gid];
+      if (r < 0) {  // dropped (overflow): numpy maps the slot to 0
+        inv1[i] = off;
+        keep1[i] = 0;
+      } else {
+        inv1[i] = r * grp + off;
+        keep1[i] = 1;
+        ++rcount[inv1[i]];
+      }
+    }
+    // Level 2: keep top u2_cap unique ROWS by (count desc, row asc).
+    std::vector<int32_t> kept_r;
+    size_t n_rows = 0;
+    for (size_t r = 0; r < rcount.size(); ++r) n_rows += (rcount[r] != 0);
+    if (n_rows > static_cast<size_t>(u2_cap)) {
+      std::vector<std::pair<int32_t, int64_t>> items;
+      items.reserve(n_rows);
+      for (size_t r = 0; r < rcount.size(); ++r) {
+        if (rcount[r]) items.push_back({static_cast<int32_t>(r), rcount[r]});
+      }
+      top_by_count(&items, static_cast<size_t>(u2_cap), &kept_r);
+    } else {
+      kept_r.reserve(n_rows);
+      for (size_t r = 0; r < rcount.size(); ++r) {
+        if (rcount[r]) kept_r.push_back(static_cast<int32_t>(r));
+      }
+    }
+    std::vector<int32_t> rslot(static_cast<size_t>(g_cap_rows), -1);
+    for (size_t j = 0; j < kept_r.size(); ++j) {
+      rslot[kept_r[j]] = static_cast<int32_t>(j);
+      row_sel[j] = kept_r[j];
+    }
+    for (size_t i = 0; i < n; ++i) {
+      const int32_t s = keep1[i] ? rslot[inv1[i]] : -1;
+      inv2[i] = s < 0 ? 0 : s;
+      keep[i] = s < 0 ? 0.0f : 1.0f;
+    }
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&idx_buf);
+  PyObject* uniq_b = make_bytes_result(uniq_groups.data(),
+                                       uniq_groups.size() * 4);
+  PyObject* sel_b = make_bytes_result(row_sel.data(), row_sel.size() * 4);
+  if (!uniq_b || !sel_b) {
+    Py_XDECREF(uniq_b);
+    Py_XDECREF(sel_b);
+    Py_DECREF(inv_obj);
+    Py_DECREF(keep_obj);
+    return nullptr;
+  }
+  PyObject* out = PyTuple_Pack(4, uniq_b, sel_b, inv_obj, keep_obj);
+  Py_DECREF(uniq_b);
+  Py_DECREF(sel_b);
+  Py_DECREF(inv_obj);
+  Py_DECREF(keep_obj);
+  return out;
 }
 
 PyMethodDef kMethods[] = {
@@ -242,6 +430,9 @@ PyMethodDef kMethods[] = {
     {"hash_batch_sequence", py_hash_batch_sequence, METH_VARARGS,
      "hash_batch_sequence(texts, vocab, t, kw, normalize) -> "
      "(idx_bytes, wgt_bytes, mask_bytes)"},
+    {"dedupe_two_level", py_dedupe_two_level, METH_VARARGS,
+     "dedupe_two_level(idx_bytes, g_cap_rows, u2_cap, group) -> "
+     "(uniq_bytes, row_sel_bytes, inv2_bytes, keep_bytes)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

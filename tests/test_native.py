@@ -78,6 +78,43 @@ def test_native_is_faster(mod):
     assert t_nat < t_py, (t_nat, t_py)
 
 
+@pytest.mark.parametrize(
+    "n,k,g_cap_rows,u2_cap,group,vmax",
+    [
+        (256, 16, 512, 256, 8, 30_000),     # no overflow
+        (256, 16, 64, 32, 8, 30_000),       # both levels overflow
+        (128, 8, 128, 8, 8, 500),           # dense collisions, row overflow
+        (64, 4, 64, 64, 16, 30_000),        # bf16-style 16-row groups
+        (512, 32, 256, 64, 8, 200),         # heavy duplication, group overflow
+    ],
+)
+def test_dedupe_two_level_bit_exact(mod, n, k, g_cap_rows, u2_cap, group,
+                                    vmax):
+    from dssm_tpu.kernels.dedup_embed import dedupe_two_level_numpy
+
+    rng = np.random.default_rng(hash((n, k, g_cap_rows, u2_cap)) % 2**31)
+    idx = rng.integers(0, vmax, size=(n, k), dtype=np.int32)
+    nat = native.dedupe_two_level(idx, g_cap_rows, u2_cap, group)
+    assert nat is not None
+    ref = dedupe_two_level_numpy(idx, g_cap_rows, u2_cap, group)
+    for name, a, b in zip(("uniq", "row_sel", "inv2", "keep"), nat, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_dedupe_native_is_faster(mod):
+    from dssm_tpu.kernels.dedup_embed import dedupe_two_level_numpy
+
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 500_000, size=(8192, 64), dtype=np.int32)
+    t0 = time.perf_counter()
+    native.dedupe_two_level(idx, 16384, 8192, 8)
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dedupe_two_level_numpy(idx, 16384, 8192, 8)
+    t_py = time.perf_counter() - t0
+    assert t_nat < t_py, (t_nat, t_py)
+
+
 def test_trigram_module_routes_through_native(mod):
     # trigram.hash_batch should give the same result whether native is on or off
     texts = ["good query", "other title"]
