@@ -87,6 +87,11 @@ class DataConfig(_Replaceable):
     path: str = ""
     eval_frac: float = 0.1  # held-out fraction for the eval split
     max_pairs: int = 0  # truncate the file corpus (0 = use all pairs)
+    # Frequency-ordered vocab remap (data/remap.py): permute table rows so
+    # Zipf-hot trigrams pack into dense row-group prefixes — collapses the
+    # per-batch unique GROUP count the DMA gather/scatter kernels pay for.
+    # Pure row permutation; training math is unchanged.
+    freq_remap: bool = False
     seed: int = 0
 
 
@@ -210,7 +215,8 @@ def _preset_full() -> RunConfig:
         tower=TowerConfig(arch="mlp", vocab_size=500_000, embed_width=300,
                           hidden_dims=(300,), semantic_dim=128,
                           compute_dtype="bfloat16"),
-        data=DataConfig(toy_vocab_words=8192, toy_num_pairs=65536),
+        data=DataConfig(toy_vocab_words=8192, toy_num_pairs=65536,
+                        freq_remap=True),
         train=TrainConfig(batch_size=1024),
     )
 
@@ -252,7 +258,8 @@ def _preset_multihost() -> RunConfig:
                           hidden_dims=(300,), semantic_dim=128,
                           compute_dtype="bfloat16"),
         data=DataConfig(toy_vocab_words=8192, toy_num_pairs=131072,
-                        max_unique=16384, max_unique_rows=8192),
+                        max_unique=16384, max_unique_rows=8192,
+                        freq_remap=True),
         # Vocab-sharded embedding table (TP over 'model') + global negative
         # pool over 'data' — the two BASELINE.json:11 requirements.
         mesh=MeshConfig(data_parallel=-1, model_parallel=2,
