@@ -73,6 +73,15 @@ def main(argv: Optional[List[str]] = None) -> None:
     cfg = validate_cfg(coerce_overrides(get_preset(preset), raw_overrides))
     impl = "auto" if cfg.train.use_pallas else "xla"
 
+    # Vocab remap persisted by training (data/remap.py): serving inputs must
+    # go through the same permutation the trained table rows live in.
+    from dssm_tpu.data.remap import load_remap
+
+    remap = load_remap(cfg.io.workdir)
+    if remap is not None:
+        print(f"applying saved vocab remap from {cfg.io.workdir}",
+              file=sys.stderr)
+
     params = model_base.init_params(cfg.tower, seed=cfg.train.seed)
     state = create_run_state(cfg, params)
     ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)
@@ -98,7 +107,7 @@ def main(argv: Optional[List[str]] = None) -> None:
                                    cfg.data.toy_vocab_words, cfg.data.seed)
             titles = list(dict.fromkeys(pairs.titles))
         emb = build_doc_index(state.params, cfg, titles,
-                              cfg.train.batch_size, impl)
+                              cfg.train.batch_size, impl, remap)
         save_index(out, emb, titles)
         print(json.dumps({"indexed_docs": len(titles), "dim": emb.shape[1],
                           "path": out}))
@@ -114,7 +123,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         else:
             raise SystemExit("--index needs --query=... or --query_file=...")
         q_emb = embed_queries(state.params, cfg, queries,
-                              cfg.train.batch_size, impl)
+                              cfg.train.batch_size, impl, remap)
         scores, ids = top_k(q_emb, doc_emb, k=k)
         for qi, qtext in enumerate(queries):
             print(json.dumps({

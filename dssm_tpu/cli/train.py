@@ -130,6 +130,24 @@ def main(argv: Optional[List[str]] = None) -> None:
         hashed_train = hash_pairs(train_pairs, cfg.tower, cfg.data)
         hashed_eval = hash_pairs(eval_pairs, cfg.tower, cfg.data)
 
+    if cfg.data.freq_remap:
+        # Frequency-ordered vocab remap (data/remap.py): pack Zipf-hot rows
+        # into dense row-group prefixes so the dedup gather/scatter pays far
+        # fewer group DMAs. Deterministic from the train corpus (identical on
+        # every host); persisted so cli/eval + cli/export apply the same
+        # permutation against the trained table.
+        from dssm_tpu.data.remap import apply_remap, build_freq_remap, save_remap
+
+        remap = build_freq_remap(hashed_train, cfg.tower.vocab_size,
+                                 num_shards=cfg.mesh.model_parallel)
+        hashed_train = apply_remap(hashed_train, remap)
+        hashed_eval = apply_remap(hashed_eval, remap)
+        if jax.process_index() == 0:
+            save_remap(cfg.io.workdir, remap)
+        print("freq_remap: vocab permutation built from the train corpus "
+              f"({cfg.mesh.model_parallel} shard stripes), saved to "
+              f"{cfg.io.workdir}", file=sys.stderr)
+
     params = model_base.init_params(cfg.tower, seed=cfg.train.seed)
     table_dtype = params[next(iter(params))][
         model_base.TABLE_KEY[cfg.tower.arch]].dtype
@@ -184,6 +202,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     # (train/eval.py), so no shape-driven fallback is needed.
     impl_eval = "auto" if cfg.train.use_pallas else "xla"
     profiling = profiled = False
+    # Bounded async-dispatch window (train.max_inflight_steps): blocks on the
+    # oldest queued step's loss so the device queue can't grow unboundedly.
+    from collections import deque
+
+    inflight: "deque" = deque()
     with ctx:
         t_last = time.perf_counter()
         step = last_log_step = start_step
@@ -215,6 +238,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                 if multi_device:
                     batch = dist.make_global_batch(batch, mesh)
                 state, aux = step_fn(state, batch)
+            inflight.append(aux["loss"])
+            while len(inflight) > cfg.train.max_inflight_steps:
+                inflight.popleft().block_until_ready()
             stride = spc if multi_fn is not None else 1
             if step % cfg.train.log_every < stride:
                 now = time.perf_counter()

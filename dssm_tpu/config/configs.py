@@ -163,6 +163,12 @@ class TrainConfig(_Replaceable):
     # batches. Amortizes per-dispatch host overhead (dominant on relayed
     # runtimes; ~0.8 ms/step on the axon tunnel vs ~50 µs locally). 1 = off.
     steps_per_call: int = 1
+    # Max async dispatches in flight before the loop blocks on the oldest.
+    # Bounds device-side queue memory, and on the CPU backend prevents
+    # collective-rendezvous starvation: an unbounded queue of N-partition
+    # programs on a small Eigen pool can leave a partition thread unscheduled
+    # past the 40 s rendezvous abort (observed at 8 partitions on 2 cores).
+    max_inflight_steps: int = 4
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,7 @@ balanced gradient traffic).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -32,6 +33,26 @@ import numpy as np
 from dssm_tpu.data.loader import HashedPairs
 
 PAD_INDEX = 0  # data/trigram.py reserves row 0 for padding
+
+# The remap is part of the trained model: table rows live at remapped
+# positions, so eval/serving must push inputs through the SAME permutation.
+# Training persists it next to the checkpoints under this name.
+REMAP_FILE = "vocab_remap.npy"
+
+
+def save_remap(workdir: str, remap: np.ndarray) -> str:
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, REMAP_FILE)
+    np.save(path, remap.astype(np.int32))
+    return path
+
+
+def load_remap(workdir: str) -> Optional[np.ndarray]:
+    """The remap saved by training, or None if the run never built one."""
+    path = os.path.join(workdir, REMAP_FILE)
+    if not os.path.exists(path):
+        return None
+    return np.load(path)
 
 
 def build_freq_remap(

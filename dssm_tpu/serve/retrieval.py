@@ -21,7 +21,7 @@ array of the indexed texts, for human-readable results).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +40,13 @@ def _embed_side(
     side: str,
     batch_size: int = 256,
     impl: str = "xla",
+    remap: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Embed raw texts through one tower (fast path, padded tail batches)."""
+    """Embed raw texts through one tower (fast path, padded tail batches).
+
+    `remap`: the vocab permutation the training run applied (data/remap.py)
+    — table rows live at remapped positions, so serving inputs must be
+    pushed through the same permutation."""
     from dssm_tpu.data import hash_pairs
     from dssm_tpu.data.loader import eval_batches
     from dssm_tpu.data.toy import ToyPairs
@@ -52,6 +57,10 @@ def _embed_side(
     # (cheap, C++ data plane) to reuse the loader's batch structure.
     pairs = ToyPairs(queries=list(texts), titles=list(texts))
     hashed = hash_pairs(pairs, cfg.tower, cfg.data)
+    if remap is not None:
+        from dssm_tpu.data.remap import apply_remap
+
+        hashed = apply_remap(hashed, remap)
     table = params[next(iter(params))][model_base.TABLE_KEY[cfg.tower.arch]]
     group = sublane_group(table.dtype)
     from dssm_tpu.train.eval import _embed_fwd
@@ -82,9 +91,10 @@ def build_doc_index(
     titles: Sequence[str],
     batch_size: int = 256,
     impl: str = "xla",
+    remap: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Doc-tower embeddings for the corpus -> [N, D] unit-norm f32."""
-    return _embed_side(params, cfg, titles, "d", batch_size, impl)
+    return _embed_side(params, cfg, titles, "d", batch_size, impl, remap)
 
 
 def embed_queries(
@@ -93,8 +103,9 @@ def embed_queries(
     queries: Sequence[str],
     batch_size: int = 256,
     impl: str = "xla",
+    remap: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    return _embed_side(params, cfg, queries, "q", batch_size, impl)
+    return _embed_side(params, cfg, queries, "q", batch_size, impl, remap)
 
 
 def save_index(path: str, doc_emb: np.ndarray, titles: Sequence[str]) -> None:
