@@ -51,6 +51,14 @@ def main():
         bs = c.train.batch_size
         pairs = make_toy_pairs(bs, vocab_words=512, seed=0)
         hashed = hash_pairs(pairs, c.tower, c.data)
+        if c.data.freq_remap:
+            # Production path: frequency-ordered remap packs hot rows into
+            # dense group prefixes (set --data.freq_remap=false via preset to
+            # profile the unremapped layout).
+            from dssm_tpu.data.remap import apply_remap, build_freq_remap
+
+            hashed = apply_remap(hashed,
+                                 build_freq_remap(hashed, c.tower.vocab_size))
         batch = select_batch(
             hashed, np.arange(bs), False,
             dedup_unique=c.data.max_unique,
