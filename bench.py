@@ -263,7 +263,9 @@ def main():
     # The 65,536-negative pool, driven for real on this chip (VERDICT r2
     # item 2a / BASELINE.json:11): flash-style streaming loss fwd+bwd —
     # the [B, 65536] logits never materialize in HBM; the pool itself is
-    # 65536x128 f32 = 33 MB.
+    # 65536x128 f32 = 33 MB. Timed as K=16 scan iterations inside ONE
+    # dispatch + one scalar fetch: each relay round-trip costs ~20-80 ms
+    # (measured), so per-call timing would measure the tunnel, not the chip.
     if platform == "tpu":
         try:
             import jax.numpy as jnp
@@ -271,6 +273,7 @@ def main():
             from dssm_tpu.kernels.pallas_loss import in_batch_loss_pallas
 
             pool = 65536
+            kk = 16
             rng = np.random.default_rng(0)
 
             def unit(n):
@@ -280,24 +283,30 @@ def main():
 
             d_pool = unit(pool)
 
+            def floss(qh, dh):
+                loss, _ = in_batch_loss_pallas(qh, dh, 20.0)
+                return loss
+
             @jax.jit
-            def loss_fwd_bwd(qh, dh):
-                def f(qh, dh):
-                    loss, _ = in_batch_loss_pallas(qh, dh, 20.0)
-                    return loss
-                loss, (dq, dd) = jax.value_and_grad(f, argnums=(0, 1))(qh, dh)
-                return loss, dq, dd
+            def loss_fwd_bwd_scan(qh, dh):
+                def body(carry, _):
+                    qc, dc = carry
+                    loss, (dq, dd) = jax.value_and_grad(
+                        floss, argnums=(0, 1))(qc, dc)
+                    return (qc + 1e-20 * dq, dc + 1e-20 * dd), loss
+
+                (qf, df), losses = jax.lax.scan(body, (qh, dh), None,
+                                                length=kk)
+                return losses[-1] + qf[0, 0] + df[0, 0]
 
             for b_local in (1024, 8192):
                 q_loc = unit(b_local)
-                loss, dq, dd = loss_fwd_bwd(q_loc, d_pool)  # compile
-                float(loss)
+                float(loss_fwd_bwd_scan(q_loc, d_pool))  # compile
                 t0 = time.perf_counter()
-                iters = 8
+                iters = 3
                 for _ in range(iters):
-                    loss, dq, dd = loss_fwd_bwd(q_loc, d_pool)
-                _ = float(loss) + float(dq[0, 0]) + float(dd[-1, 0])
-                dt = (time.perf_counter() - t0) / iters
+                    out = float(loss_fwd_bwd_scan(q_loc, d_pool))
+                dt = (time.perf_counter() - t0) / (iters * kk)
                 print(f"# 65k-pool loss fwd+bwd [{b_local}x{pool}]: "
                       f"{dt*1e3:.2f} ms = {b_local/dt:,.0f} pairs/s "
                       f"({2*3*b_local*pool*128/dt/1e12:.1f} TFLOP/s)",
@@ -323,6 +332,7 @@ def main():
                 dedup_group=sublane_group(table.dtype),
                 dedup_unique_rows=cfg.data.max_unique_rows,
                 dedup_joint=cfg.tower.shared_weights,
+                wire_compress=True,
             ), depth=2)
             multi_fn = make_multi_train_step(cfg, impl="pallas")
             state = fresh_state()

@@ -163,6 +163,10 @@ def main(argv: Optional[List[str]] = None) -> None:
         dedup_group=sublane_group(table_dtype),
         dedup_unique_rows=cfg.data.max_unique_rows,
         dedup_joint=cfg.tower.shared_weights,
+        # Compressed wire format (drop dead idx fields, int16 slots, uint8
+        # counts): host->device transfer is the e2e bottleneck (loader.
+        # compress_wire); sequence batches keep their full layout.
+        wire_compress=dedup and not cfg.tower.is_sequence_model,
     )
     from dssm_tpu.data import prefetch
 

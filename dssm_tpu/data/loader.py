@@ -151,6 +151,41 @@ def select_batch(
     return batch
 
 
+def compress_wire(batch: Batch) -> Batch:
+    """Shrink the host->device wire format of a dedup batch. The relay/PCIe
+    transfer is the e2e train bottleneck (measured ~70 MB/s effective through
+    the axon tunnel vs a 0.7 ms device step), so every byte shipped per step
+    counts:
+
+      - {q,d}_idx are DROPPED when inv fields exist: the dedup step consumes
+        only uniq/sel/inv/wgt (train/sparse_update.py step) — idx is dead
+        weight (528 KB of a 1.58 MB Full-DSSM batch).
+      - {q,d}_inv int32 -> int16 when the unique-row slot count fits (slots
+        < 32768; data.max_unique_rows bounds it).
+      - {q,d}_wgt f32 -> uint8 when every weight is a small integral count
+        (trigram counts with normalize_counts=False; checked per batch).
+
+    The device side casts back at the lookup boundary
+    (kernels/dedup_embed.lookup_from_compact) — int16/uint8 -> int32/f32 are
+    free VPU converts next to a matmul. Lossless by construction."""
+    out = dict(batch)
+    for side in ("q", "d"):
+        if f"{side}_inv" not in out:
+            continue
+        out.pop(f"{side}_idx", None)
+        inv = out[f"{side}_inv"]
+        if inv.dtype == np.int32 and inv.size and inv.max() < 32768:
+            out[f"{side}_inv"] = inv.astype(np.int16)
+        wgt = out[f"{side}_wgt"]
+        if (wgt.dtype == np.float32 and wgt.size
+                and float(wgt.max(initial=0.0)) <= 255.0
+                and float(wgt.min(initial=0.0)) >= 0.0):
+            w8 = wgt.astype(np.uint8)
+            if np.array_equal(w8.astype(np.float32), wgt):
+                out[f"{side}_wgt"] = w8
+    return out
+
+
 def batch_iterator(
     hashed: HashedPairs,
     global_batch: int,
@@ -163,6 +198,7 @@ def batch_iterator(
     dedup_group: int = 8,
     dedup_unique_rows: Optional[int] = None,
     dedup_joint: bool = False,
+    wire_compress: bool = False,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -193,17 +229,19 @@ def batch_iterator(
                                       dedup_group, dedup_unique_rows,
                                       dedup_joint)
                 lo = process_index * local
-                yield {
+                out = {
                     k: (v if k in ("uniq", "sel")
                         or k.endswith(("_uniq", "_sel"))
                         else v[lo : lo + local])
                     for k, v in gbatch.items()
                 }
+                yield compress_wire(out) if wire_compress else out
             else:
                 shard = rows[process_index * local : (process_index + 1) * local]
-                yield select_batch(hashed, shard, sequence, dedup_unique,
+                out = select_batch(hashed, shard, sequence, dedup_unique,
                                    dedup_group, dedup_unique_rows,
                                    dedup_joint)
+                yield compress_wire(out) if wire_compress else out
         epoch += 1
 
 

@@ -247,7 +247,13 @@ def lookup_from_compact(
 
     Differentiable in `compact` (linear — XLA autodiff emits the transposed
     matmuls). inv/wgt/row_sel are data.
+
+    inv/wgt may arrive in the compressed wire format (int16 slots / uint8
+    integral counts — data/loader.compress_wire, shipped to cut relay/PCIe
+    bytes); they are widened here, a free VPU convert next to the matmul.
     """
+    inv = inv.astype(jnp.int32)
+    wgt = wgt.astype(compute_dtype)
     h = compact.shape[1]
     if row_sel is not None:
         compact2 = select_rows(compact, row_sel, compute_dtype)
