@@ -78,7 +78,7 @@ def _roofline_us(cfg, batch, table_dtype, n_real_groups, group, h):
 
     itemsize = np.dtype(table_dtype).itemsize
     b = cfg.train.batch_size
-    k = batch["q_inv"].shape[-1]
+    k = (batch["q_inv"].shape[-1] + batch["d_inv"].shape[-1]) / 2
     u2 = batch["sel"].shape[0] if "sel" in batch else batch["q_sel"].shape[0]
     g_rows_real = n_real_groups * group
     g_rows_cap = (batch["uniq"].shape[0] if "uniq" in batch

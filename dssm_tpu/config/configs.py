@@ -68,6 +68,11 @@ class DataConfig(_Replaceable):
     """
 
     max_trigrams: int = 64  # K: nonzeros kept per text (bag-of-trigrams models)
+    # K for the QUERY side only (0 = same as max_trigrams). Queries are much
+    # shorter than titles (toy corpus p100: 32 vs 62), and the on-device
+    # count build is O(B x K x U2) VPU work per side — the single largest
+    # compute stage — so a tighter query K is a direct win.
+    max_trigrams_query: int = 0
     max_words: int = 16  # T: words kept per text (cnn/lstm)
     max_trigrams_per_word: int = 8  # Kw
     normalize_counts: bool = False  # l2-normalize trigram count vector
@@ -221,8 +226,15 @@ def _preset_full() -> RunConfig:
         tower=TowerConfig(arch="mlp", vocab_size=500_000, embed_width=300,
                           hidden_dims=(300,), semantic_dim=128,
                           compute_dtype="bfloat16"),
+        # max_unique=2048 rows (256 gather slots): with freq_remap packing
+        # hot trigrams into dense group prefixes, a 1024-pair batch touches
+        # ~107 row groups (measured, toy corpus at 8192 words) — 2.4x
+        # headroom. The cap sizes the row-selection matmul and the gather
+        # out-block, so slack is pure cost. max_trigrams_query=32 covers the
+        # query side's p100 exactly (docs need the full 64).
         data=DataConfig(toy_vocab_words=8192, toy_num_pairs=65536,
-                        freq_remap=True),
+                        freq_remap=True, max_unique=2048,
+                        max_trigrams_query=32),
         train=TrainConfig(batch_size=1024),
     )
 

@@ -47,8 +47,9 @@ class HashedPairs:
 
 
 def hash_pairs(pairs: ToyPairs, tower: TowerConfig, data: DataConfig) -> HashedPairs:
+    kq = data.max_trigrams_query or data.max_trigrams
     q_idx, q_wgt = trigram.hash_batch(
-        pairs.queries, tower.vocab_size, data.max_trigrams, data.normalize_counts
+        pairs.queries, tower.vocab_size, kq, data.normalize_counts
     )
     d_idx, d_wgt = trigram.hash_batch(
         pairs.titles, tower.vocab_size, data.max_trigrams, data.normalize_counts

@@ -72,7 +72,21 @@ def sublane_group(dtype) -> int:
     raise ValueError(f"unsupported table dtype {dtype}")
 
 
-def _gather_kernel(tg, group, num_groups, gid_ref, table_ref, out_ref, sems):
+def _step_flags(gids: jax.Array, num_groups: int, tg: int):
+    """Per-grid-step summaries for the sentinel skip: all_valid[i] /
+    none_valid[i] over each tg-slot block. Computed in XLA (two tiny
+    reductions); lets the kernels take a wholesale fast path instead of
+    2-4 scalar-unit branches per slot — the per-slot branching alone costs
+    ~240 ns/slot and dominated gather/scatter time at padded slot caps
+    (measured: 247 us gather with 99 real of 1024 slots)."""
+    valid = (gids < num_groups).reshape(-1, tg)
+    allv = jnp.all(valid, axis=1).astype(jnp.int32)
+    nonev = jnp.logical_not(jnp.any(valid, axis=1)).astype(jnp.int32)
+    return allv, nonev
+
+
+def _gather_kernel(tg, group, num_groups, gid_ref, allv_ref, nonev_ref,
+                   table_ref, out_ref, sems):
     i = pl.program_id(0)
     base = i * tg
 
@@ -85,23 +99,38 @@ def _gather_kernel(tg, group, num_groups, gid_ref, table_ref, out_ref, sems):
 
     # Sentinel slots (gid >= num_groups) issue no DMA; their output rows are
     # zero-filled so downstream consumers (count matmuls, adagrad accumulator
-    # reads) see exact zeros, never stale VMEM bits.
-    for r in range(tg):
-        valid = gid_ref[base + r] < num_groups
+    # reads) see exact zeros, never stale VMEM bits. Steps that are all-
+    # sentinel (dedupe padding tail) or all-real skip the per-slot scalar
+    # branching wholesale (_step_flags).
+    @pl.when(nonev_ref[i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros((tg * group, out_ref.shape[1]), out_ref.dtype)
 
-        @pl.when(valid)
-        def _():
+    @pl.when(allv_ref[i] == 1)
+    def _():
+        for r in range(tg):
             dma(r).start()
-
-        @pl.when(jnp.logical_not(valid))
-        def _():
-            out_ref[pl.ds(r * group, group)] = jnp.zeros(
-                (group, out_ref.shape[1]), out_ref.dtype
-            )
-    for r in range(tg):
-        @pl.when(gid_ref[base + r] < num_groups)
-        def _():
+        for r in range(tg):
             dma(r).wait()
+
+    @pl.when(jnp.logical_and(allv_ref[i] == 0, nonev_ref[i] == 0))
+    def _():
+        for r in range(tg):
+            valid = gid_ref[base + r] < num_groups
+
+            @pl.when(valid)
+            def _():
+                dma(r).start()
+
+            @pl.when(jnp.logical_not(valid))
+            def _():
+                out_ref[pl.ds(r * group, group)] = jnp.zeros(
+                    (group, out_ref.shape[1]), out_ref.dtype
+                )
+        for r in range(tg):
+            @pl.when(gid_ref[base + r] < num_groups)
+            def _():
+                dma(r).wait()
 
 
 def gather_row_groups(
@@ -121,11 +150,12 @@ def gather_row_groups(
     if g % tg:
         raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
     interpret = interpret or _FORCE_INTERPRET
+    allv, nonev = _step_flags(gids, v // group, tg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(g // tg,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((tg * group, h), lambda i, gid_ref: (i, 0),
+        out_specs=pl.BlockSpec((tg * group, h), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((tg,))],
     )
@@ -139,11 +169,12 @@ def gather_row_groups(
             bytes_accessed=2 * g * group * h * table.dtype.itemsize,
             transcendentals=0,
         ),
-    )(gids, table)
+    )(gids, allv, nonev, table)
 
 
-def _scatter_kernel(tg, group, num_groups, gid_ref, vals_ref, table_in_ref,
-                    table_out_ref, scratch, read_sems, write_sems):
+def _scatter_kernel(tg, group, num_groups, gid_ref, allv_ref, nonev_ref,
+                    vals_ref, table_in_ref, table_out_ref, scratch, read_sems,
+                    write_sems):
     i = pl.program_id(0)
     base = i * tg
 
@@ -163,26 +194,41 @@ def _scatter_kernel(tg, group, num_groups, gid_ref, vals_ref, table_in_ref,
 
     # Sentinel slots (gid >= num_groups: dedupe padding / not-owned shards)
     # are skipped entirely. Their stale scratch rows flow through the add but
-    # are never written back — harmless.
-    def when_valid(r, op):
-        @pl.when(gid_ref[base + r] < num_groups)
-        def _():
-            op()
+    # are never written back — harmless. All-sentinel steps (dedupe padding
+    # tail) do NOTHING; all-real steps run branch-free (_step_flags).
+    @pl.when(allv_ref[i] == 1)
+    def _():
+        for r in range(tg):
+            rdma(r).start()
+        for r in range(tg):
+            rdma(r).wait()
+        scratch[:] = scratch[:] + vals_ref[:].astype(scratch.dtype)
+        for r in range(tg):
+            wdma(r).start()
+        for r in range(tg):
+            wdma(r).wait()
 
-    for r in range(tg):
-        when_valid(r, rdma(r).start)
-    for r in range(tg):
-        when_valid(r, rdma(r).wait)
-    scratch[:] = scratch[:] + vals_ref[:].astype(scratch.dtype)
-    for r in range(tg):
-        when_valid(r, wdma(r).start)
-    for r in range(tg):
-        when_valid(r, wdma(r).wait)
+    @pl.when(jnp.logical_and(allv_ref[i] == 0, nonev_ref[i] == 0))
+    def _():
+        def when_valid(r, op):
+            @pl.when(gid_ref[base + r] < num_groups)
+            def _():
+                op()
+
+        for r in range(tg):
+            when_valid(r, rdma(r).start)
+        for r in range(tg):
+            when_valid(r, rdma(r).wait)
+        scratch[:] = scratch[:] + vals_ref[:].astype(scratch.dtype)
+        for r in range(tg):
+            when_valid(r, wdma(r).start)
+        for r in range(tg):
+            when_valid(r, wdma(r).wait)
 
 
-def _scatter_sr_kernel(tg, group, num_groups, gid_ref, seed_ref, vals_ref,
-                       table_in_ref, table_out_ref, scratch, read_sems,
-                       write_sems):
+def _scatter_sr_kernel(tg, group, num_groups, gid_ref, seed_ref, allv_ref,
+                       nonev_ref, vals_ref, table_in_ref, table_out_ref,
+                       scratch, read_sems, write_sems):
     i = pl.program_id(0)
     base = i * tg
     # Fold the grid step into the seed: every 32-group block draws an
@@ -203,28 +249,38 @@ def _scatter_sr_kernel(tg, group, num_groups, gid_ref, seed_ref, vals_ref,
             write_sems.at[r],
         )
 
+    def rmw(when_valid):
+        for r in range(tg):
+            when_valid(r, rdma(r).start)
+        for r in range(tg):
+            when_valid(r, rdma(r).wait)
+        acc = scratch[:].astype(jnp.float32) + vals_ref[:].astype(jnp.float32)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(acc.shape), jnp.uint32)
+        scratch[:] = pltpu.stochastic_round(acc, bits,
+                                            target_dtype=scratch.dtype)
+        for r in range(tg):
+            when_valid(r, wdma(r).start)
+        for r in range(tg):
+            when_valid(r, wdma(r).wait)
+
     # Out-of-range gids (>= num_groups) are skipped entirely: the sharded
     # path marks not-owned groups with the sentinel num_groups so shards
     # never RMW rows they don't own (a clipped duplicate would race the
     # owner's set-write). Skipped slots leave stale scratch rows; computing
     # through them is harmless because their writes never happen.
-    def when_valid(r, op):
-        @pl.when(gid_ref[base + r] < num_groups)
-        def _():
-            op()
+    # All-sentinel steps do NOTHING; all-real steps run branch-free.
+    @pl.when(allv_ref[i] == 1)
+    def _():
+        rmw(lambda r, op: op())
 
-    for r in range(tg):
-        when_valid(r, rdma(r).start)
-    for r in range(tg):
-        when_valid(r, rdma(r).wait)
-    acc = scratch[:].astype(jnp.float32) + vals_ref[:].astype(jnp.float32)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(acc.shape), jnp.uint32)
-    scratch[:] = pltpu.stochastic_round(acc, bits,
-                                        target_dtype=scratch.dtype)
-    for r in range(tg):
-        when_valid(r, wdma(r).start)
-    for r in range(tg):
-        when_valid(r, wdma(r).wait)
+    @pl.when(jnp.logical_and(allv_ref[i] == 0, nonev_ref[i] == 0))
+    def _():
+        def when_valid(r, op):
+            @pl.when(gid_ref[base + r] < num_groups)
+            def _():
+                op()
+
+        rmw(when_valid)
 
 
 def scatter_sr_row_groups(
@@ -261,11 +317,12 @@ def scatter_sr_row_groups(
         raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
     seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
     interpret = interpret or _FORCE_INTERPRET
+    allv, nonev = _step_flags(gids, v // group, tg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(g // tg,),
         in_specs=[
-            pl.BlockSpec((tg * group, h), lambda i, gid_ref, seed_ref: (i, 0),
+            pl.BlockSpec((tg * group, h), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),  # vals block (f32)
             pl.BlockSpec(memory_space=pl.ANY),  # table (aliased to output)
         ],
@@ -280,7 +337,8 @@ def scatter_sr_row_groups(
         functools.partial(_scatter_sr_kernel, tg, group, v // group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v, h), table.dtype),
-        input_output_aliases={3: 0},  # operand 3 = table (gids, seed, vals, .)
+        # operand 5 = table (gids, seed, allv, nonev, vals, table)
+        input_output_aliases={5: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
@@ -289,7 +347,7 @@ def scatter_sr_row_groups(
                             + g * group * h * 4),
             transcendentals=0,
         ),
-    )(gids, seed_arr, vals, table)
+    )(gids, seed_arr, allv, nonev, vals, table)
 
 
 def scatter_add_row_groups(
@@ -313,11 +371,12 @@ def scatter_add_row_groups(
     if g % tg:
         raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
     interpret = interpret or _FORCE_INTERPRET
+    allv, nonev = _step_flags(gids, v // group, tg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(g // tg,),
         in_specs=[
-            pl.BlockSpec((tg * group, h), lambda i, gid_ref: (i, 0),
+            pl.BlockSpec((tg * group, h), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),  # vals block
             pl.BlockSpec(memory_space=pl.ANY),  # table (aliased to output)
         ],
@@ -332,7 +391,8 @@ def scatter_add_row_groups(
         functools.partial(_scatter_kernel, tg, group, v // group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((v, h), table.dtype),
-        input_output_aliases={2: 0},  # operand 2 = table (after gids, vals)
+        # operand 4 = table (gids, allv, nonev, vals, table)
+        input_output_aliases={4: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
@@ -340,4 +400,4 @@ def scatter_add_row_groups(
             bytes_accessed=3 * g * group * h * table.dtype.itemsize,
             transcendentals=0,
         ),
-    )(gids, vals, table)
+    )(gids, allv, nonev, vals, table)
