@@ -167,6 +167,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         # counts): host->device transfer is the e2e bottleneck (loader.
         # compress_wire); sequence batches keep their full layout.
         wire_compress=dedup and not cfg.tower.is_sequence_model,
+        # Cluster short rows into the same kernel tiles so the count build's
+        # K unroll stops early (loader.sort_batch_rows); rotate mode keeps
+        # corpus order (its offsets address rows positionally).
+        sort_rows=(dedup and not cfg.tower.is_sequence_model
+                   and cfg.loss.mode != "rotate"),
     )
     from dssm_tpu.data import prefetch
 
@@ -211,6 +216,25 @@ def main(argv: Optional[List[str]] = None) -> None:
     from collections import deque
 
     inflight: "deque" = deque()
+
+    # K-step blocks are stacked AND device-transferred in a background
+    # thread: the H2D transfer is the dominant e2e cost (measured ~70 MB/s
+    # effective through the relay vs a sub-ms device step), so it must
+    # overlap the previous block's compute. Rotate mode keeps the inline
+    # path (its offsets depend on the live step counter).
+    stacked_blocks = None
+    if multi_fn is not None and cfg.loss.mode != "rotate":
+        def _stacked_stream():
+            while True:
+                blk = stack_batches(next(batches) for _ in range(spc))
+                if multi_device:
+                    blk = dist.make_global_batch(blk, mesh, stacked=True)
+                else:
+                    blk = jax.device_put(blk)
+                yield blk
+
+        stacked_blocks = prefetch(_stacked_stream(), depth=2)
+
     with ctx:
         t_last = time.perf_counter()
         step = last_log_step = start_step
@@ -227,13 +251,16 @@ def main(argv: Optional[List[str]] = None) -> None:
                       file=sys.stderr)
             if multi_fn is not None and cfg.train.max_steps - step >= spc:
                 # K steps fused into one dispatch (train.loop docstring).
-                stacked = stack_batches(
-                    add_rotation_offsets(next(batches), cfg, step + j)
-                    for j in range(spc)
-                )
-                if multi_device:
-                    stacked = dist.make_global_batch(stacked, mesh,
-                                                     stacked=True)
+                if stacked_blocks is not None:
+                    stacked = next(stacked_blocks)
+                else:
+                    stacked = stack_batches(
+                        add_rotation_offsets(next(batches), cfg, step + j)
+                        for j in range(spc)
+                    )
+                    if multi_device:
+                        stacked = dist.make_global_batch(stacked, mesh,
+                                                         stacked=True)
                 state, auxes = multi_fn(state, stacked)
                 aux = {k: v[-1] for k, v in auxes.items()}
                 step += spc - 1  # log/eval/ckpt below act on the LAST step

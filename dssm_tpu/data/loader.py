@@ -152,6 +152,30 @@ def select_batch(
     return batch
 
 
+def sort_batch_rows(batch: Batch) -> Batch:
+    """Jointly permute the batch's rows (q and d together, so diagonal
+    positive labels stay aligned) by descending trigram count. Short texts
+    then cluster into the same kernel row tiles, whose K-unroll bound
+    (kernels/pallas_count._tile_kmax) stops at the tile's longest row — the
+    count build is the largest on-device compute stage and its work is
+    O(rows x K), so clustering converts per-corpus K padding into skipped
+    chunks. Pure within-batch permutation of (query, doc) PAIRS: the
+    in-batch loss, its gradient, and eval metrics are order-invariant.
+    Replicated dedup fields (uniq/sel) pass through untouched."""
+    key_d = (batch["d_wgt"] != 0).sum(axis=1)
+    key_q = (batch["q_wgt"] != 0).sum(axis=1)
+    if key_d.ndim != 1:  # sequence batches: no count kernel, nothing to win
+        return batch
+    perm = np.lexsort((-key_q, -key_d))
+    out = {}
+    for k, v in batch.items():
+        if k in ("uniq", "sel") or k.endswith(("_uniq", "_sel")):
+            out[k] = v
+        else:
+            out[k] = v[perm]
+    return out
+
+
 def compress_wire(batch: Batch) -> Batch:
     """Shrink the host->device wire format of a dedup batch. The relay/PCIe
     transfer is the e2e train bottleneck (measured ~70 MB/s effective through
@@ -200,6 +224,7 @@ def batch_iterator(
     dedup_unique_rows: Optional[int] = None,
     dedup_joint: bool = False,
     wire_compress: bool = False,
+    sort_rows: bool = False,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -236,12 +261,16 @@ def batch_iterator(
                         else v[lo : lo + local])
                     for k, v in gbatch.items()
                 }
+                if sort_rows:
+                    out = sort_batch_rows(out)
                 yield compress_wire(out) if wire_compress else out
             else:
                 shard = rows[process_index * local : (process_index + 1) * local]
                 out = select_batch(hashed, shard, sequence, dedup_unique,
                                    dedup_group, dedup_unique_rows,
                                    dedup_joint)
+                if sort_rows:
+                    out = sort_batch_rows(out)
                 yield compress_wire(out) if wire_compress else out
         epoch += 1
 

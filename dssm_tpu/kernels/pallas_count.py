@@ -35,21 +35,51 @@ def _supported(rows: int, u2: int, h: int, k: int) -> bool:
     )
 
 
-def _fwd_kernel(k, compute_dtype, inv_ref, wgt_ref, compact_ref, out_ref):
+_K_CHUNK = 8  # predication granularity of the K unroll (see _tile_kmax)
+
+
+def _tile_kmax(wgt2d: jax.Array, tr: int) -> jax.Array:
+    """Per-row-tile bound on the K unroll: 1 + the last column with a
+    nonzero weight, maxed over the tile. Entries at j >= bound contribute
+    wgt=0 exactly (hash padding AND keep-dropped lookups), so chunks past
+    it are skipped wholesale in the kernels. With the loader's
+    sort-by-nnz row ordering (loader.sort_batch_rows), short rows cluster
+    into tiles with small bounds and the count build stops scaling with
+    the PADDED K (the largest compute stage: O(B x K x U2) VPU compares)."""
+    rows, k = wgt2d.shape
+    jidx = jnp.arange(k, dtype=jnp.int32)[None, :]
+    last = jnp.max(jnp.where(wgt2d != 0, jidx, -1), axis=1) + 1  # [rows]
+    return jnp.max(last.reshape(-1, tr), axis=1).astype(jnp.int32)
+
+
+def _count_tile(kmax, k, inv_ref, wgt_ref, cnt_sc):
+    """cnt_sc [TR, U2] = count matrix of this row tile, K-chunk predicated."""
     tr = inv_ref.shape[0]
-    u2 = compact_ref.shape[0]
+    u2 = cnt_sc.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, (tr, u2), 1)
-    cnt = jnp.zeros((tr, u2), dtype=jnp.float32)
-    for i in range(k):  # K is small (<=64) and static: unrolled VPU compares
-        hit = (inv_ref[:, i][:, None] == cols).astype(jnp.float32)
-        cnt = cnt + wgt_ref[:, i][:, None] * hit
+    cnt_sc[:] = jnp.zeros((tr, u2), dtype=jnp.float32)
+    for c0 in range(0, k, _K_CHUNK):
+        @pl.when(c0 < kmax)
+        def _():
+            cnt = cnt_sc[:]
+            for j in range(c0, min(c0 + _K_CHUNK, k)):
+                hit = (inv_ref[:, j][:, None] == cols).astype(jnp.float32)
+                cnt = cnt + wgt_ref[:, j][:, None] * hit
+            cnt_sc[:] = cnt
+
+
+def _fwd_kernel(k, compute_dtype, kmax_ref, inv_ref, wgt_ref, compact_ref,
+                out_ref, cnt_sc):
+    i = pl.program_id(0)
+    _count_tile(kmax_ref[i], k, inv_ref, wgt_ref, cnt_sc)
     out_ref[:] = jnp.dot(
-        cnt.astype(compute_dtype), compact_ref[:],
+        cnt_sc[:].astype(compute_dtype), compact_ref[:],
         preferred_element_type=jnp.float32,
     )
 
 
-def _bwd_kernel(k, compute_dtype, inv_ref, wgt_ref, g_ref, dc_ref, acc):
+def _bwd_kernel(k, compute_dtype, kmax_ref, inv_ref, wgt_ref, g_ref, dc_ref,
+                acc, cnt_sc):
     """Grid over row tiles; accumulate d_compact2 += count_tile.T @ g_tile."""
     i = pl.program_id(0)
     ni = pl.num_programs(0)
@@ -58,15 +88,9 @@ def _bwd_kernel(k, compute_dtype, inv_ref, wgt_ref, g_ref, dc_ref, acc):
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    tr = inv_ref.shape[0]
-    u2 = acc.shape[0]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tr, u2), 1)
-    cnt = jnp.zeros((tr, u2), dtype=jnp.float32)
-    for j in range(k):
-        hit = (inv_ref[:, j][:, None] == cols).astype(jnp.float32)
-        cnt = cnt + wgt_ref[:, j][:, None] * hit
+    _count_tile(kmax_ref[i], k, inv_ref, wgt_ref, cnt_sc)
     acc[:] = acc[:] + jnp.dot(
-        cnt.T.astype(compute_dtype), g_ref[:].astype(compute_dtype),
+        cnt_sc[:].T.astype(compute_dtype), g_ref[:].astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
 
@@ -80,16 +104,24 @@ def _fwd_call(compact2, inv2d, wgt2d, interpret):
     u2, h = compact2.shape
     tr = min(_ROW_TILE, rows)
     kernel = functools.partial(_fwd_kernel, k, compact2.dtype)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(rows // tr,),
         in_specs=[
-            pl.BlockSpec((tr, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((u2, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, k), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, k), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u2, h), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tr, h), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tr, u2), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows, h), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -98,27 +130,35 @@ def _fwd_call(compact2, inv2d, wgt2d, interpret):
                             + rows * h * 4),
             transcendentals=0,
         ),
-    )(inv2d, wgt2d, compact2)
+    )(_tile_kmax(wgt2d, tr), inv2d, wgt2d, compact2)
 
 
 def _bwd_call(inv2d, wgt2d, g, u2, h, compute_dtype, interpret):
     rows, k = inv2d.shape
     tr = min(_ROW_TILE, rows)
     kernel = functools.partial(_bwd_kernel, k, compute_dtype)
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(rows // tr,),
         in_specs=[
-            pl.BlockSpec((tr, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, k), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, k), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((u2, h), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((u2, h), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((u2, h), jnp.float32),
+                        pltpu.VMEM((tr, u2), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((u2, h), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((u2, h), jnp.float32)],
         interpret=interpret,
-    )(inv2d, wgt2d, g)
+    )(_tile_kmax(wgt2d, tr), inv2d, wgt2d, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -91,12 +91,19 @@ def embed_corpus(
     hashed: HashedPairs,
     batch_size: int = 256,
     impl: str = "xla",
+    *,
+    device: bool = False,
 ):
     """Forward-only embed of the whole eval corpus -> (Q [N, D], Dm [N, D]).
 
     Uses the dedup compact-gather lookup (the training fast path) whenever
     the config enables it; tail batches are padded so every batch hits the
     same compiled executable.
+
+    device=True keeps the embeddings ON DEVICE (returns jnp arrays) — the
+    eval path ranks on device anyway, and fetching [N, D] floats through the
+    axon relay costs ~170 ms per 4 MB (measured); only `evaluate`'s final
+    [N] rank vector should ever cross back.
     """
     dedup = cfg.data.dedup_lookup
     from dssm_tpu.data.loader import prefetch
@@ -143,6 +150,11 @@ def embed_corpus(
         stacked = {key: np.stack([b[key] for b in block])
                    for key in block[0]}
         q, d = fwd_stacked(params, stacked)
+        if device:
+            # Slice on device (async); nothing crosses to the host.
+            qs.append(q.reshape(-1, q.shape[-1])[:rows])
+            ds.append(d.reshape(-1, d.shape[-1])[:rows])
+            continue
         # Async dispatch: fetch the PREVIOUS block while this one computes.
         pending.append(((q, d), rows))
         if len(pending) > 1:
@@ -152,6 +164,8 @@ def embed_corpus(
     for (q0, d0), r0 in pending:
         qs.append(np.asarray(q0).reshape(-1, q0.shape[-1])[:r0])
         ds.append(np.asarray(d0).reshape(-1, d0.shape[-1])[:r0])
+    if device:
+        return jnp.concatenate(qs), jnp.concatenate(ds)
     return np.concatenate(qs), np.concatenate(ds)
 
 
@@ -169,19 +183,31 @@ def _rank_chunk(qc: jax.Array, d_all: jax.Array, lo: jax.Array) -> jax.Array:
     return 1 + jnp.sum((s > true_c).astype(jnp.int32), axis=1)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _rank_all(q: jax.Array, d: jax.Array, chunk: int) -> jax.Array:
+    """All chunks in ONE dispatch (lax.scan over query chunks): each relay
+    round-trip costs ~40 ms, so per-chunk dispatches dominated eval."""
+    n = q.shape[0]
+    nc = n // chunk
+
+    def body(lo, qc):
+        return lo + chunk, _rank_chunk(qc, d, lo)
+
+    _, ranks = jax.lax.scan(body, jnp.int32(0),
+                            q[: nc * chunk].reshape(nc, chunk, -1))
+    ranks = ranks.reshape(-1)
+    if nc * chunk < n:  # ragged tail chunk
+        ranks = jnp.concatenate(
+            [ranks, _rank_chunk(q[nc * chunk:], d, jnp.int32(nc * chunk))])
+    return ranks
+
+
 def compute_ranks(q: np.ndarray, d: np.ndarray,
                   chunk: int = _RANK_CHUNK) -> np.ndarray:
     """Per-query rank of the aligned true doc, chunked on device — no [N, N]
-    host matrix (VERDICT round 1 weak item 3)."""
-    n = q.shape[0]
-    d_dev = jnp.asarray(d)
-    ranks = np.empty((n,), dtype=np.int64)
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        ranks[lo:hi] = np.asarray(
-            _rank_chunk(jnp.asarray(q[lo:hi]), d_dev, jnp.int32(lo))
-        )
-    return ranks
+    host matrix, one dispatch, one [N]-int fetch."""
+    return np.asarray(_rank_all(jnp.asarray(q), jnp.asarray(d),
+                                min(chunk, q.shape[0])))
 
 
 def metrics_from_ranks(ranks: np.ndarray, ks=(1, 10)) -> Dict[str, float]:
@@ -212,5 +238,7 @@ def evaluate(
     batch_size: int = 256,
     impl: str = "xla",
 ) -> Dict[str, float]:
-    q, d = embed_corpus(params, cfg, hashed, batch_size, impl)
+    # Embeddings stay on device end-to-end; only the [N] rank vector (and
+    # the scalar metrics) ever cross the host boundary.
+    q, d = embed_corpus(params, cfg, hashed, batch_size, impl, device=True)
     return ranking_metrics(q, d)

@@ -167,6 +167,83 @@ def test_count_lookup_kernel_rejects_bad_shapes():
     assert count_lookup_pallas(compact2, inv, wgt, interpret=True) is None
 
 
+def test_count_lookup_kmax_skip_exact_with_ragged_rows():
+    """The K-chunk skip (kernels/pallas_count._tile_kmax) must be exact for
+    the real weight patterns: ragged nonzero prefixes (hash padding),
+    INTERIOR zeros (keep-dropped overflow lookups), and all-zero rows —
+    fwd and grad."""
+    from dssm_tpu.kernels.dedup_embed import lookup_from_compact
+    from dssm_tpu.kernels.pallas_count import count_lookup_pallas
+
+    rng = np.random.default_rng(8)
+    rows, k, u2, h = 256, 32, 128, 128
+    compact2 = jnp.asarray(rng.normal(size=(u2, h)).astype(np.float32))
+    inv = rng.integers(0, u2, size=(rows, k)).astype(np.int32)
+    wgt = rng.uniform(0.5, 2, size=(rows, k)).astype(np.float32)
+    nnz = rng.integers(0, k + 1, size=(rows,))
+    wgt[np.arange(k)[None, :] >= nnz[:, None]] = 0.0  # ragged prefixes
+    wgt[5, 2] = 0.0  # interior zero (keep-dropped lookup)
+    wgt[17] = 0.0  # fully dropped row
+    # entries past the prefix keep junk inv values — skip must not read them
+    inv[np.arange(k)[None, :] >= nnz[:, None]] = u2 - 1
+    inv, wgt = jnp.asarray(inv), jnp.asarray(wgt)
+
+    out = count_lookup_pallas(compact2, inv, wgt, interpret=True)
+    ref = lookup_from_compact(compact2, inv, wgt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+    g_p = jax.grad(
+        lambda c: (count_lookup_pallas(c, inv, wgt, interpret=True) ** 2).sum()
+    )(compact2)
+    g_x = jax.grad(lambda c: (lookup_from_compact(c, inv, wgt) ** 2).sum())(
+        compact2
+    )
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sort_batch_rows_invariance():
+    """sort_batch_rows is a pure joint permutation: loss identical, and the
+    per-tile kmax bound shrinks for short-row tiles."""
+    from dssm_tpu.config import (
+        DataConfig, LossConfig, RunConfig, TowerConfig, TrainConfig,
+    )
+    from dssm_tpu.data import loader, toy
+    from dssm_tpu.models import base as mb
+    from dssm_tpu.train.loop import make_train_step
+    from dssm_tpu.train.state import create_state
+
+    cfg = RunConfig(
+        tower=TowerConfig(vocab_size=4096, embed_width=32, hidden_dims=(24,),
+                          semantic_dim=16),
+        data=DataConfig(max_trigrams=32, max_unique=2048, max_unique_rows=512),
+        loss=LossConfig(mode="in_batch"),
+        train=TrainConfig(batch_size=64, use_pallas=False),
+    )
+    pairs = toy.make_toy_pairs(64, vocab_words=64, seed=11)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    batch = loader.select_batch(
+        hashed, np.arange(64), False, dedup_unique=cfg.data.max_unique,
+        dedup_unique_rows=cfg.data.max_unique_rows, dedup_joint=True,
+    )
+    sorted_batch = loader.sort_batch_rows(batch)
+    # same pairs, new order
+    key = lambda b: sorted(map(tuple, np.asarray(b["q_wgt"])))
+    assert key(batch) == key(sorted_batch)
+    assert not np.array_equal(batch["q_wgt"], sorted_batch["q_wgt"])
+    # nnz descending along rows
+    nnz = (np.asarray(sorted_batch["d_wgt"]) != 0).sum(axis=1)
+    assert (np.diff(nnz) <= 0).all()
+
+    step = make_train_step(cfg, impl="xla")
+    s1, a1 = step(create_state(mb.init_params(cfg.tower, seed=0), cfg.train),
+                  batch)
+    s2, a2 = step(create_state(mb.init_params(cfg.tower, seed=0), cfg.train),
+                  sorted_batch)
+    np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]),
+                               rtol=1e-6)
+
+
 def test_embedding_bag_kernel_matches_xla():
     from dssm_tpu.kernels.pallas_embed import embedding_bag_pallas
     from dssm_tpu.kernels.sparse_embed import embedding_bag_xla
