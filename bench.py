@@ -378,11 +378,15 @@ def main():
         for _ in range(2):  # second pass timed (first includes compile)
             t0 = time.perf_counter()
             q, d = embed_corpus(params, cfg, hashed, 256, impl, device=True)
+            t_embed = time.perf_counter() - t0
             ranks = compute_ranks(q, d)
             t_eval = time.perf_counter() - t0
         print(f"# eval embed+rank (impl={impl}, on-device): "
               f"{n_eval / t_eval:,.0f} pairs/s "
-              f"({t_eval*1e3:.0f} ms for {n_eval})", file=sys.stderr)
+              f"({t_eval*1e3:.0f} ms for {n_eval}: embed+dedupe "
+              f"{t_embed*1e3:.0f} + rank {(t_eval-t_embed)*1e3:.0f}; "
+              f"2 relay dispatch round-trips ~40 ms each set the floor at "
+              f"this corpus size)", file=sys.stderr)
     except Exception as e:
         print(f"# eval bench failed: {e}", file=sys.stderr)
 
