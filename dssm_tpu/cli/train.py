@@ -174,8 +174,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                    and cfg.loss.mode != "rotate"),
     )
     from dssm_tpu.data import prefetch
+    from dssm_tpu.data.loader import LockedIterator
 
-    batches = prefetch(batches, depth=2)
+    # LockedIterator: the stacked-block worker thread (below) and the main
+    # loop's tail path can both pull from this stream concurrently; bare
+    # generators raise 'generator already executing' on that race.
+    batches = LockedIterator(prefetch(batches, depth=2))
 
     writer = MetricsWriter(
         f"{cfg.io.workdir}/{cfg.io.metrics_file}",

@@ -176,7 +176,66 @@ def sort_batch_rows(batch: Batch) -> Batch:
     return out
 
 
-def compress_wire(batch: Batch) -> Batch:
+class LockedIterator:
+    """Serialize ``next()`` calls on a shared iterator across threads.
+
+    Python generators raise ``ValueError('generator already executing')``
+    when two threads call next concurrently — which can happen in cli/train
+    when the stacked-block worker thread and the main loop's tail path share
+    one prefetch stream. Interleaving order across consumers is unspecified
+    but each batch is delivered exactly once."""
+
+    def __init__(self, iterator):
+        import threading
+
+        self._it = iter(iterator)
+        self._lock = threading.Lock()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        with self._lock:
+            return next(self._it)
+
+
+def wire_dtype_plan(
+    hashed: HashedPairs,
+    dedup_unique: int,
+    dedup_unique_rows: Optional[int],
+) -> Dict[str, bool]:
+    """Decide the compressed wire dtypes ONCE from whole-run invariants.
+
+    Per-batch decisions (the old behavior) let a single outlier batch flip
+    the wire dtype mid-run: np.stack in stack_batches silently promotes
+    mixed blocks and the jitted multi-step recompiles on the new dtype
+    signature. Instead:
+
+      - inv int16 iff the unique-row slot bound (max_unique_rows, or
+        add_dedup_fields' default) keeps every slot id < 32768 — a config
+        invariant.
+      - wgt uint8 iff every weight in the corpus is a small non-negative
+        integer (one O(corpus) scan here; keep-mask multiplies in
+        add_dedup_fields only zero entries, preserving the property).
+    """
+    slots = (dedup_unique_rows if dedup_unique_rows is not None
+             else max(256, dedup_unique // 8))
+    u8 = True
+    for arr in (hashed.q_wgt, hashed.d_wgt):
+        if arr is None or arr.dtype != np.float32:
+            u8 = False
+            break
+        if arr.size and not (
+            float(arr.min(initial=0.0)) >= 0.0
+            and float(arr.max(initial=0.0)) <= 255.0
+            and np.array_equal(arr.astype(np.uint8).astype(np.float32), arr)
+        ):
+            u8 = False
+            break
+    return {"inv_int16": slots <= 32768, "wgt_uint8": u8}
+
+
+def compress_wire(batch: Batch, plan: Optional[Dict[str, bool]] = None) -> Batch:
     """Shrink the host->device wire format of a dedup batch. The relay/PCIe
     transfer is the e2e train bottleneck (measured ~70 MB/s effective through
     the axon tunnel vs a 0.7 ms device step), so every byte shipped per step
@@ -192,22 +251,34 @@ def compress_wire(batch: Batch) -> Batch:
 
     The device side casts back at the lookup boundary
     (kernels/dedup_embed.lookup_from_compact) — int16/uint8 -> int32/f32 are
-    free VPU converts next to a matmul. Lossless by construction."""
+    free VPU converts next to a matmul. Lossless by construction.
+
+    `plan` (wire_dtype_plan) fixes the target dtypes for the whole run so
+    every batch ships an identical dtype signature (no mid-run recompiles);
+    without it, dtypes are decided per batch (legacy behavior, used by
+    tests)."""
     out = dict(batch)
     for side in ("q", "d"):
         if f"{side}_inv" not in out:
             continue
         out.pop(f"{side}_idx", None)
         inv = out[f"{side}_inv"]
-        if inv.dtype == np.int32 and inv.size and inv.max() < 32768:
-            out[f"{side}_inv"] = inv.astype(np.int16)
+        if inv.dtype == np.int32:
+            ok = (plan["inv_int16"] if plan is not None
+                  else bool(inv.size and inv.max() < 32768))
+            if ok:
+                out[f"{side}_inv"] = inv.astype(np.int16)
         wgt = out[f"{side}_wgt"]
-        if (wgt.dtype == np.float32 and wgt.size
-                and float(wgt.max(initial=0.0)) <= 255.0
-                and float(wgt.min(initial=0.0)) >= 0.0):
-            w8 = wgt.astype(np.uint8)
-            if np.array_equal(w8.astype(np.float32), wgt):
-                out[f"{side}_wgt"] = w8
+        if wgt.dtype == np.float32:
+            if plan is not None:
+                if plan["wgt_uint8"]:
+                    out[f"{side}_wgt"] = wgt.astype(np.uint8)
+            elif (wgt.size
+                    and float(wgt.max(initial=0.0)) <= 255.0
+                    and float(wgt.min(initial=0.0)) >= 0.0):
+                w8 = wgt.astype(np.uint8)
+                if np.array_equal(w8.astype(np.float32), wgt):
+                    out[f"{side}_wgt"] = w8
     return out
 
 
@@ -241,6 +312,10 @@ def batch_iterator(
     local = global_batch // process_count
     if global_batch > n:
         raise ValueError(f"global batch {global_batch} > corpus size {n}")
+    # Fix the compressed wire dtypes once for the whole run (stable jit
+    # signature across batches; see wire_dtype_plan).
+    plan = (wire_dtype_plan(hashed, dedup_unique or 0, dedup_unique_rows)
+            if wire_compress else None)
     epoch = 0
     while True:
         rng = np.random.default_rng((seed, epoch))
@@ -263,7 +338,7 @@ def batch_iterator(
                 }
                 if sort_rows:
                     out = sort_batch_rows(out)
-                yield compress_wire(out) if wire_compress else out
+                yield compress_wire(out, plan) if wire_compress else out
             else:
                 shard = rows[process_index * local : (process_index + 1) * local]
                 out = select_batch(hashed, shard, sequence, dedup_unique,
@@ -271,7 +346,7 @@ def batch_iterator(
                                    dedup_joint)
                 if sort_rows:
                     out = sort_batch_rows(out)
-                yield compress_wire(out) if wire_compress else out
+                yield compress_wire(out, plan) if wire_compress else out
         epoch += 1
 
 

@@ -103,9 +103,13 @@ def _fwd_kernel(gamma, tc, q_ref, dt_ref, lab_ref, nll_ref, lse_ref, pos_ref,
         lse_ref[:] = lse
         nll_ref[:] = lse - pos_sc[:]
         pos_ref[:] = pos_sc[:]
-        # argmax==label  <=>  the positive attains the global max (ties favor
-        # the model; exact ties are measure-zero for continuous embeddings).
-        # A running argmax instead costs 2x forward time (measured).
+        # argmax==label  <=>  the positive attains the global max. Ties favor
+        # the model — and unlike continuous-noise ties, EXACT ties do occur in
+        # practice (duplicate titles embed bit-identically), so this metric
+        # can read higher than a strict argmax-first definition on
+        # duplicate-heavy corpora. It matches compute_ranks' strict-inequality
+        # ranking (train/eval.py). A running argmax instead costs 2x forward
+        # time (measured).
         hit_ref[:] = (pos_sc[:] >= m_sc[:]).astype(jnp.float32)
 
 

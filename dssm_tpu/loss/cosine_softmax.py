@@ -75,6 +75,7 @@ def in_batch_loss_sharded(
     *,
     impl: str = "auto",
     global_pool: bool = True,
+    reduce: str = "pmean",
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Global-negative-pool loss as an EXPLICIT shard_map over `data_axis`.
 
@@ -93,9 +94,20 @@ def in_batch_loss_sharded(
     global_pool=False scores each query against its LOCAL shard's docs only
     (B_local - 1 negatives) — the mesh.global_negatives=False configuration;
     cheaper, not parity with the single-device loss.
+
+    reduce="pmean" (production): replicated scalar outputs via a trailing
+    pmean. reduce="sum_shards": per-shard NLL/aux SUMS, out_specs
+    P(data_axis), no trailing collective — the caller divides by B_global.
+    Exists so CPU-mesh contract tests can run THIS function at pool sizes
+    where XLA's in-process rendezvous would time out behind a minutes-long
+    per-partition matmul (participants >40 s apart abort); also the right
+    shape for loss-only diagnostics that want per-shard numbers.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
+
+    if reduce not in ("pmean", "sum_shards"):
+        raise ValueError(f"unknown reduce {reduce!r}")
 
     def local_fn(q, d):
         b_local = q.shape[0]
@@ -107,16 +119,20 @@ def in_batch_loss_sharded(
             offset = 0
         labels = offset + jnp.arange(b_local, dtype=jnp.int32)
         loss, aux = in_batch_loss(q, pool, gamma, labels, impl=impl)
+        if reduce == "sum_shards":
+            return (loss[None] * b_local,
+                    {k: v[None] * b_local for k, v in aux.items()})
         # Equal-sized shards: pmean of per-shard means == global mean.
         loss = jax.lax.pmean(loss, data_axis)
         aux = {k: jax.lax.pmean(v, data_axis) for k, v in aux.items()}
         return loss, aux
 
+    out_spec = P(data_axis) if reduce == "sum_shards" else P()
     return shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(data_axis, None), P(data_axis, None)),
-        out_specs=(P(), P()),
+        out_specs=(out_spec, out_spec),
         check_vma=False,
     )(qh, dh)
 

@@ -131,7 +131,9 @@ def make_eval_step(cfg: RunConfig, impl: Optional[str] = None) -> Callable:
 def add_rotation_offsets(batch: Dict, cfg: RunConfig, step: int) -> Dict:
     """Rotate-parity mode: attach deterministic per-step rotation offsets."""
     if cfg.loss.mode == "rotate":
-        b = batch["q_idx"].shape[0]
+        # Size from q_wgt: it survives compress_wire, which drops q_idx from
+        # dedup batches (loader.compress_wire).
+        b = batch["q_wgt"].shape[0]
         batch = dict(batch)
         batch["rot_offsets"] = np.asarray(
             rotation_offsets(b, cfg.loss.num_negatives, cfg.train.seed + step),

@@ -69,3 +69,19 @@ def test_sigkill_and_resume(tmp_path):
                open(os.path.join(workdir, "metrics.jsonl"))]
     train_steps = [r["step"] for r in records if r["tag"] == "train"]
     assert len(train_steps) >= 2
+
+
+def test_stacked_tail_steps(tmp_path):
+    """Regression (ADVICE r3 medium): with steps_per_call>1 and a max_steps
+    that is NOT a multiple of it, the tail single-steps pull from the same
+    prefetch stream the stacked-block worker thread is advancing; without
+    LockedIterator this intermittently died with 'generator already
+    executing' at end of training."""
+    workdir = str(tmp_path / "run")
+    cli = _cli(workdir, 23)  # 23 = 5 blocks of 4 + 3 tail singles
+    cli += ["--train.steps_per_call=4", "--train.checkpoint_every=0"]
+    out = subprocess.run(cli, env=_env(), capture_output=True, timeout=240)
+    log = out.stdout.decode() + out.stderr.decode()
+    assert out.returncode == 0, log[-3000:]
+    assert "generator already executing" not in log
+    assert "final eval" in log

@@ -84,6 +84,33 @@ def test_sharded_loss_grads_match(impl):
                                    rtol=1e-4, atol=1e-6, err_msg=name)
 
 
+def test_sharded_loss_sum_shards_reduce():
+    """reduce="sum_shards" (the contract-test escape, VERDICT r3 directive
+    6): per-shard sums divided by B_global must equal the pmean result."""
+    b, d = 128, 32
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(_unit_rows(rng, b, d))
+    dm = jnp.asarray(_unit_rows(rng, b, d))
+    mesh = _mesh(8)
+    with mesh:
+        loss, aux = jax.jit(
+            lambda a, b_: in_batch_loss_sharded(a, b_, GAMMA, mesh,
+                                                impl="xla")
+        )(q, dm)
+        sums, aux_sums = jax.jit(
+            lambda a, b_: in_batch_loss_sharded(a, b_, GAMMA, mesh,
+                                                impl="xla",
+                                                reduce="sum_shards")
+        )(q, dm)
+    assert sums.shape == (8,)
+    np.testing.assert_allclose(float(jnp.sum(sums)) / b, float(loss),
+                               rtol=1e-5)
+    for k in aux:
+        np.testing.assert_allclose(float(jnp.sum(aux_sums[k])) / b,
+                                   float(aux[k]), rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+
+
 def test_sharded_loss_local_negatives_mode():
     """global_pool=False: each shard scores only its local docs — the
     mesh.global_negatives=False configuration. Check against a per-shard

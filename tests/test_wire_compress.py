@@ -80,3 +80,47 @@ def test_compress_skips_non_integral_weights():
     batch = next(_iters(cfg, True))
     assert batch["q_wgt"].dtype == np.float32  # normalized -> not integral
     assert batch["q_inv"].dtype == np.int16  # slots still compress
+
+
+def test_rotate_mode_with_compressed_wire():
+    """Regression (ADVICE r3 high): compress_wire drops q_idx, and
+    add_rotation_offsets used to size offsets from it -> KeyError at step 0
+    for any dedup + rotate run. It must size from q_wgt instead."""
+    from dssm_tpu.train.loop import add_rotation_offsets
+
+    base = _cfg()
+    cfg = base.replace(loss=LossConfig(mode="rotate", num_negatives=4))
+    batch = next(_iters(cfg, True))
+    assert "q_idx" not in batch
+    batch = add_rotation_offsets(batch, cfg, step=0)
+    assert batch["rot_offsets"].shape == (4,)
+    state = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    step = make_train_step(cfg, impl="xla")
+    state, aux = step(state, batch)
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_wire_dtypes_stable_across_outlier_batches():
+    """Regression (ADVICE r3 low): wire dtypes are fixed once per run from
+    corpus/config invariants, so an outlier batch cannot flip the jit dtype
+    signature mid-run (stack_batches would silently promote mixed blocks)."""
+    cfg = _cfg()
+    pairs = toy.make_toy_pairs(256, vocab_words=64, seed=5)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    # Plant one weight that breaks the uint8 bound in a LATE batch position:
+    # per-batch logic would ship early batches as uint8, then flip.
+    hashed.q_wgt[200, 0] = 300.0
+    it = loader.batch_iterator(
+        hashed, B, False, seed=1,
+        dedup_unique=cfg.data.max_unique,
+        dedup_unique_rows=cfg.data.max_unique_rows,
+        dedup_joint=cfg.tower.shared_weights,
+        wire_compress=True,
+    )
+    dtypes = [
+        {k: v.dtype for k, v in next(it).items()} for _ in range(4)
+    ]
+    for d in dtypes[1:]:
+        assert d == dtypes[0]
+    assert dtypes[0]["q_wgt"] == np.float32  # outlier forces f32 for ALL
+    assert dtypes[0]["q_inv"] == np.int16  # slot bound is a config invariant
