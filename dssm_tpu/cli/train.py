@@ -172,6 +172,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         # corpus order (its offsets address rows positionally).
         sort_rows=(dedup and not cfg.tower.is_sequence_model
                    and cfg.loss.mode != "rotate"),
+        pipeline_workers=cfg.data.pipeline_workers,
     )
     from dssm_tpu.data import prefetch
     from dssm_tpu.data.loader import LockedIterator

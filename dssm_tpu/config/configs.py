@@ -97,6 +97,12 @@ class DataConfig(_Replaceable):
     # per-batch unique GROUP count the DMA gather/scatter kernels pay for.
     # Pure row permutation; training math is unchanged.
     freq_remap: bool = False
+    # Host input-pipeline thread-pool width (loader.batch_iterator): W
+    # upcoming batches build concurrently with ordered, bit-identical
+    # reassembly. At multi-host scale the per-step GLOBAL-batch dedupe is the
+    # dominant host cost; size W ~= ceil(host_ms_per_batch / device
+    # step ms) on the production host (0/1 = serial build).
+    pipeline_workers: int = 0
     seed: int = 0
 
 
@@ -277,7 +283,7 @@ def _preset_multihost() -> RunConfig:
                           compute_dtype="bfloat16"),
         data=DataConfig(toy_vocab_words=8192, toy_num_pairs=131072,
                         max_unique=16384, max_unique_rows=8192,
-                        freq_remap=True),
+                        freq_remap=True, pipeline_workers=8),
         # Vocab-sharded embedding table (TP over 'model') + global negative
         # pool over 'data' — the two BASELINE.json:11 requirements.
         mesh=MeshConfig(data_parallel=-1, model_parallel=2,

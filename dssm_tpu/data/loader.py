@@ -152,6 +152,71 @@ def select_batch(
     return batch
 
 
+def _global_dedup_local_batch(
+    hashed: HashedPairs,
+    rows: np.ndarray,
+    sequence: bool,
+    dedup_unique: int,
+    dedup_group: int,
+    dedup_unique_rows: Optional[int],
+    dedup_joint: bool,
+    lo: int,
+    local: int,
+) -> Batch:
+    """The multi-host global-dedupe branch, materializing only LOCAL arrays.
+
+    The dedupe itself must see the GLOBAL batch's indices (uniq/sel are
+    replicated across hosts), but everything else — weights, masks, inv
+    slices, keep multiplies — is only needed for this host's shard. The old
+    path built the full global batch dict and then sliced: at the multihost
+    preset that is ~4 global 16-33 MB fancy-gathers plus global-size keep
+    multiplies per step, which measured comparable to the dedupe itself.
+    Bit-identical outputs to select_batch(global)+slice (tests/
+    test_multihost.py parity matrix).
+    """
+    from dssm_tpu.kernels.dedup_embed import (
+        dedupe_two_level, dedupe_two_level_joint)
+
+    if sequence:
+        q_idx_g, d_idx_g = hashed.q_seq_idx[rows], hashed.d_seq_idx[rows]
+    else:
+        q_idx_g, d_idx_g = hashed.q_idx[rows], hashed.d_idx[rows]
+    if dedup_unique_rows is None:
+        dedup_unique_rows = max(256, dedup_unique // 8)
+    max_u = (dedup_unique // 8) * dedup_group
+    sl = slice(lo, lo + local)
+    loc = rows[sl]
+    out: Batch = {"q_idx": q_idx_g[sl], "d_idx": d_idx_g[sl]}
+    if sequence:
+        out["q_wgt"] = hashed.q_seq_wgt[loc]
+        out["d_wgt"] = hashed.d_seq_wgt[loc]
+        out["q_mask"] = hashed.q_mask[loc]
+        out["d_mask"] = hashed.d_mask[loc]
+    else:
+        out["q_wgt"] = hashed.q_wgt[loc]
+        out["d_wgt"] = hashed.d_wgt[loc]
+    if dedup_joint:
+        uniq, sel, q_inv, d_inv, q_keep, d_keep = dedupe_two_level_joint(
+            q_idx_g, d_idx_g, max_u, dedup_unique_rows, dedup_group)
+        out["uniq"], out["sel"] = uniq, sel
+        out["q_inv"], out["d_inv"] = q_inv[sl], d_inv[sl]
+        keeps = {"q": q_keep, "d": d_keep}
+    else:
+        keeps = {}
+        for side, idx_g in (("q", q_idx_g), ("d", d_idx_g)):
+            uniq, sel, inv, keep = dedupe_two_level(
+                idx_g, max_u, dedup_unique_rows, dedup_group)
+            out[f"{side}_uniq"] = uniq
+            out[f"{side}_sel"] = sel
+            out[f"{side}_inv"] = inv[sl]
+            keeps[side] = keep
+    for side, keep in keeps.items():
+        kl = keep[sl]
+        if not np.all(kl == 1.0):
+            out[f"{side}_wgt"] = out[f"{side}_wgt"] * kl
+    return out
+
+
 def sort_batch_rows(batch: Batch) -> Batch:
     """Jointly permute the batch's rows (q and d together, so diagonal
     positive labels stay aligned) by descending trigram count. Short texts
@@ -296,6 +361,7 @@ def batch_iterator(
     dedup_joint: bool = False,
     wire_compress: bool = False,
     sort_rows: bool = False,
+    pipeline_workers: int = 0,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -303,6 +369,14 @@ def batch_iterator(
     takes rows [global_batch] per step, then slices its own contiguous
     process shard — shard h gets rows [h*B_local, (h+1)*B_local). Positive
     labels after the all-gather are diagonal offset h*B_local.
+
+    pipeline_workers > 1 farms the per-batch transform (gather + dedupe +
+    compress — the expensive part; the C++ dedupe releases the GIL) to a
+    thread pool with ORDERED reassembly: batch order and content are
+    bit-identical to the serial path, but W upcoming batches build
+    concurrently. This is how a many-core production host amortizes the
+    per-step global-batch dedupe below the device step time (the dedupe
+    itself is also internally threaded — DSSM_DEDUPE_THREADS).
     """
     n = len(hashed)
     if global_batch % process_count != 0:
@@ -316,38 +390,58 @@ def batch_iterator(
     # signature across batches; see wire_dtype_plan).
     plan = (wire_dtype_plan(hashed, dedup_unique or 0, dedup_unique_rows)
             if wire_compress else None)
-    epoch = 0
-    while True:
-        rng = np.random.default_rng((seed, epoch))
-        perm = rng.permutation(n)
-        for start in range(0, n - global_batch + 1, global_batch):
-            rows = perm[start : start + global_batch]
-            if dedup_unique and process_count > 1:
-                # Dedupe over the GLOBAL batch (identical on every host — same
-                # seed, same permutation) so the *_uniq fields are truly
-                # replicated across hosts; then slice this host's batch shard.
-                gbatch = select_batch(hashed, rows, sequence, dedup_unique,
-                                      dedup_group, dedup_unique_rows,
-                                      dedup_joint)
-                lo = process_index * local
-                out = {
-                    k: (v if k in ("uniq", "sel")
-                        or k.endswith(("_uniq", "_sel"))
-                        else v[lo : lo + local])
-                    for k, v in gbatch.items()
-                }
-                if sort_rows:
-                    out = sort_batch_rows(out)
-                yield compress_wire(out, plan) if wire_compress else out
-            else:
-                shard = rows[process_index * local : (process_index + 1) * local]
-                out = select_batch(hashed, shard, sequence, dedup_unique,
-                                   dedup_group, dedup_unique_rows,
-                                   dedup_joint)
-                if sort_rows:
-                    out = sort_batch_rows(out)
-                yield compress_wire(out, plan) if wire_compress else out
-        epoch += 1
+
+    def row_stream() -> Iterator[np.ndarray]:
+        epoch = 0
+        while True:
+            rng = np.random.default_rng((seed, epoch))
+            perm = rng.permutation(n)
+            for start in range(0, n - global_batch + 1, global_batch):
+                yield perm[start : start + global_batch]
+            epoch += 1
+
+    def make(rows: np.ndarray) -> Batch:
+        if dedup_unique and process_count > 1:
+            # Dedupe over the GLOBAL batch (identical on every host — same
+            # seed, same permutation) so the *_uniq fields are truly
+            # replicated across hosts; weights/inv/keep are materialized
+            # for this host's shard only (_global_dedup_local_batch).
+            out = _global_dedup_local_batch(
+                hashed, rows, sequence, dedup_unique, dedup_group,
+                dedup_unique_rows, dedup_joint, process_index * local, local)
+        else:
+            shard = rows[process_index * local : (process_index + 1) * local]
+            out = select_batch(hashed, shard, sequence, dedup_unique,
+                               dedup_group, dedup_unique_rows, dedup_joint)
+        if sort_rows:
+            out = sort_batch_rows(out)
+        return compress_wire(out, plan) if wire_compress else out
+
+    rs = row_stream()
+    if pipeline_workers and pipeline_workers > 1:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=pipeline_workers)
+        try:
+            futs: "deque" = deque()
+            for _ in range(pipeline_workers + 1):
+                futs.append(ex.submit(make, next(rs)))
+            while True:
+                batch = futs.popleft().result()
+                futs.append(ex.submit(make, next(rs)))
+                yield batch
+        finally:
+            # Non-blocking teardown: this runs from generator finalization,
+            # possibly during interpreter shutdown, where module globals may
+            # already be torn down — swallow everything.
+            try:
+                ex.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
+    else:
+        for rows in rs:
+            yield make(rows)
 
 
 def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:

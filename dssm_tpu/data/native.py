@@ -116,6 +116,28 @@ def dedupe_two_level(
     return uniq, sel, inv2, keep
 
 
+def dedupe_two_level_joint(
+    q_idx: np.ndarray, d_idx: np.ndarray, g_cap_rows: int, u2_cap: int,
+    group: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """C++ UNION dedupe over both sides without the host-side concatenate
+    (q first in inv/keep order — exactly np.concatenate([q, d]) semantics).
+    Returns (uniq, sel, inv2 [nq+nd], keep [nq+nd]) or None."""
+    mod = get_module()
+    if mod is None or not hasattr(mod, "dedupe_two_level_joint"):
+        return None
+    q = np.ascontiguousarray(q_idx, dtype=np.int32).reshape(-1)
+    d = np.ascontiguousarray(d_idx, dtype=np.int32).reshape(-1)
+    uniq_b, sel_b, inv_b, keep_b = mod.dedupe_two_level_joint(
+        q, d, g_cap_rows, u2_cap, group
+    )
+    uniq = np.frombuffer(uniq_b, dtype=np.int32).copy()
+    sel = np.frombuffer(sel_b, dtype=np.int32).copy()
+    inv2 = np.frombuffer(inv_b, dtype=np.int32)
+    keep = np.frombuffer(keep_b, dtype=np.float32)
+    return uniq, sel, inv2, keep
+
+
 def hash_batch_sequence(
     texts, vocab_size: int, t: int, kw: int, normalize: bool = False
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

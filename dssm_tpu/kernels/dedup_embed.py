@@ -177,10 +177,17 @@ def dedupe_two_level_joint(
 
     Returns (uniq_groups [G], row_sel [u2], q_inv, d_inv, q_keep, d_keep).
     """
+    from dssm_tpu.data import native as _native
+
     nq = q_idx.size
-    both = np.concatenate([q_idx.reshape(-1), d_idx.reshape(-1)])
-    uniq_groups, row_sel, inv2, keep = dedupe_two_level(
-        both, g_cap_rows, u2_cap, group)
+    fast = _native.dedupe_two_level_joint(q_idx, d_idx, g_cap_rows, u2_cap,
+                                          group)
+    if fast is not None:
+        uniq_groups, row_sel, inv2, keep = fast
+    else:
+        both = np.concatenate([q_idx.reshape(-1), d_idx.reshape(-1)])
+        uniq_groups, row_sel, inv2, keep = dedupe_two_level(
+            both, g_cap_rows, u2_cap, group)
     return (
         uniq_groups,
         row_sel,
@@ -273,6 +280,43 @@ def lookup_from_compact(
     cnt = jax.lax.stop_gradient(cnt)
     out = jnp.dot(cnt, compact2, preferred_element_type=jnp.float32)
     return out.reshape(*inv.shape[:-1], h)
+
+
+def joint_lookup_from_compact(
+    compact: jax.Array,
+    row_sel: jax.Array,
+    q_inv: jax.Array,
+    q_wgt: jax.Array,
+    d_inv: jax.Array,
+    d_wgt: jax.Array,
+    compute_dtype=jnp.float32,
+    impl: str = "xla",
+) -> Tuple[jax.Array, jax.Array]:
+    """Union-dedupe lookup for BOTH towers from one compact block.
+
+    impl="pallas" (TPU): ONE fused kernel does the row-select + both count
+    builds + both matmuls with compact2 and the count tiles resident in VMEM
+    (kernels/pallas_count.joint_lookup_pallas); its custom VJP runs both
+    backward count rebuilds + the select transpose in one kernel too,
+    yielding the COMBINED d_compact directly. Fallback: select_rows one-hot
+    matmul + two lookup_from_compact calls — identical math.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if impl == "pallas":
+        from dssm_tpu.kernels.pallas_count import joint_lookup_pallas
+
+        fused = joint_lookup_pallas(compact, row_sel, q_inv, q_wgt,
+                                    d_inv, d_wgt)
+        if fused is not None:
+            qo, do = fused
+            return qo.astype(compute_dtype), do.astype(compute_dtype)
+    c2 = select_rows(compact, row_sel, compute_dtype)
+    lq = lookup_from_compact(c2, q_inv, q_wgt, compute_dtype, None,
+                             impl=impl)
+    ld = lookup_from_compact(c2, d_inv, d_wgt, compute_dtype, None,
+                             impl=impl)
+    return lq.astype(compute_dtype), ld.astype(compute_dtype)
 
 
 def expand_group_rows(uniq_groups: jax.Array, group: int) -> jax.Array:

@@ -87,14 +87,13 @@ def make_parallel_sparse_step_body(
     def lookups(cq, cd, batch):
         if "uniq" in batch:
             # Union dedupe (shared table): cq is the single compact; ONE
-            # row-selection serves both towers.
-            from dssm_tpu.kernels.dedup_embed import select_rows
+            # row-selection serves both towers, fused with both count
+            # builds on TPU (dedup_embed.joint_lookup_from_compact).
+            from dssm_tpu.kernels.dedup_embed import joint_lookup_from_compact
 
-            c2 = select_rows(cq, batch["sel"], compute_dtype)
-            lq = lookup_from_compact(c2, batch["q_inv"], batch["q_wgt"],
-                                     compute_dtype, None, impl=impl)
-            ld = lookup_from_compact(c2, batch["d_inv"], batch["d_wgt"],
-                                     compute_dtype, None, impl=impl)
+            lq, ld = joint_lookup_from_compact(
+                cq, batch["sel"], batch["q_inv"], batch["q_wgt"],
+                batch["d_inv"], batch["d_wgt"], compute_dtype, impl=impl)
         else:
             lq = lookup_from_compact(cq, batch["q_inv"], batch["q_wgt"],
                                      compute_dtype, batch.get("q_sel"),

@@ -160,17 +160,14 @@ def make_sparse_train_step_body(
     def loss_from_compact_joint(dense_params, c, batch):
         # Shared table, union dedupe: ONE row-selection serves both towers;
         # autodiff gives the COMBINED compact gradient (dq-side + dd-side) in
-        # a single array — one scatter updates the table for both.
-        from dssm_tpu.kernels.dedup_embed import (
-            lookup_from_compact, select_rows)
+        # a single array — one scatter updates the table for both. On TPU the
+        # select + both count builds + both matmuls fuse into one kernel
+        # (dedup_embed.joint_lookup_from_compact).
+        from dssm_tpu.kernels.dedup_embed import joint_lookup_from_compact
 
-        c2 = select_rows(c, batch["sel"], compute_dtype)
-        lq = lookup_from_compact(c2, batch["q_inv"], batch["q_wgt"],
-                                 compute_dtype, None,
-                                 impl=impl).astype(compute_dtype)
-        ld = lookup_from_compact(c2, batch["d_inv"], batch["d_wgt"],
-                                 compute_dtype, None,
-                                 impl=impl).astype(compute_dtype)
+        lq, ld = joint_lookup_from_compact(
+            c, batch["sel"], batch["q_inv"], batch["q_wgt"],
+            batch["d_inv"], batch["d_wgt"], compute_dtype, impl=impl)
         return loss_from_lookups(dense_params, lq, ld, batch)
 
     def apply_table_update(table, uniq, vals, seed):

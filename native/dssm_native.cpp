@@ -19,8 +19,10 @@
 #include <cctype>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -258,18 +260,196 @@ constexpr int32_t kSkipSentinelGid = 1 << 25;  // dedup_embed.SKIP_SENTINEL_GID
 
 // Select the ids to keep under a cap: by (count desc, id asc), result sorted
 // by id asc. Matches numpy argsort(-counts, stable)[:cap] over ids that were
-// sorted ascending (rank order == id order), then keep.sort().
+// sorted ascending (rank order == id order), then keep.sort(). nth_element
+// picks the same SET as a full sort under the same total order (ids are
+// distinct, so the order is total) in O(n) instead of O(n log n) — at Zipf
+// multihost batches the overflow set is ~1M unique rows and the full sort
+// was the single largest host cost (measured).
 void top_by_count(std::vector<std::pair<int32_t, int64_t>>* id_counts,
                   size_t cap, std::vector<int32_t>* kept_sorted) {
-  std::sort(id_counts->begin(), id_counts->end(),
-            [](const auto& a, const auto& b) {
-              if (a.second != b.second) return a.second > b.second;
-              return a.first < b.first;
-            });
+  auto cmp = [](const std::pair<int32_t, int64_t>& a,
+                const std::pair<int32_t, int64_t>& b) {
+    if (a.second != b.second) return a.second > b.second;
+    return a.first < b.first;
+  };
   size_t n = std::min(cap, id_counts->size());
+  if (id_counts->size() > cap) {
+    std::nth_element(id_counts->begin(), id_counts->begin() + cap,
+                     id_counts->end(), cmp);
+  }
   kept_sorted->resize(n);
   for (size_t j = 0; j < n; ++j) (*kept_sorted)[j] = (*id_counts)[j].first;
   std::sort(kept_sorted->begin(), kept_sorted->end());
+}
+
+// Host-thread pool sizing: DSSM_DEDUPE_THREADS env overrides; default is the
+// hardware concurrency (production hosts have 100+ vCPUs feeding one chip —
+// the whole point of parallelizing the per-step global-batch dedupe).
+unsigned dedupe_threads(size_t n) {
+  if (n < (1u << 17)) return 1;  // small batches: thread spawn not worth it
+  const char* e = std::getenv("DSSM_DEDUPE_THREADS");
+  unsigned t = e ? static_cast<unsigned>(std::atoi(e))
+                 : std::thread::hardware_concurrency();
+  if (t < 1) t = 1;
+  return std::min(t, 64u);
+}
+
+// Run fn(tid, begin, end) over [0, n) split into `nt` contiguous chunks.
+template <typename F>
+void parallel_for(size_t n, unsigned nt, F&& fn) {
+  if (nt <= 1 || n < nt) {
+    fn(0u, size_t{0}, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt - 1);
+  size_t chunk = (n + nt - 1) / nt;
+  for (unsigned t = 1; t < nt; ++t) {
+    size_t lo = t * chunk, hi = std::min(n, (t + 1) * chunk);
+    if (lo >= hi) break;
+    threads.emplace_back([&fn, t, lo, hi] { fn(t, lo, hi); });
+  }
+  fn(0u, size_t{0}, std::min(n, chunk));
+  for (auto& th : threads) th.join();
+}
+
+// Two-level dedupe core over one or two index spans (the joint entry passes
+// q and d separately — no 33 MB host concat per step). Deterministic and
+// bit-exact with the numpy path regardless of thread count: histograms merge
+// by integer addition, selection happens on the merged arrays, and the
+// per-entry passes write disjoint ranges.
+void dedupe_core(const int32_t* a, size_t na, const int32_t* b, size_t nb,
+                 size_t g_cap, int64_t g_cap_rows, int64_t u2_cap,
+                 int32_t grp, int32_t* uniq_groups, int32_t* row_sel,
+                 int32_t* inv2, float* keep) {
+  const size_t n = na + nb;
+  int shift = 0;
+  while ((1 << shift) < grp) ++shift;
+  const int32_t mask = grp - 1;
+  const unsigned nt = dedupe_threads(n);
+  auto span_at = [&](size_t i) { return i < na ? a[i] : b[i - na]; };
+
+  // Pass A: max gid (parallel max-reduce), then per-group histogram with
+  // per-thread dense arrays merged by addition.
+  std::vector<int32_t> tmax(nt, 0);
+  parallel_for(n, nt, [&](unsigned t, size_t lo, size_t hi) {
+    int32_t m = 0;
+    for (size_t i = lo; i < hi; ++i) {
+      const int32_t g = span_at(i) >> shift;
+      if (g > m) m = g;
+    }
+    tmax[t] = m;
+  });
+  int32_t max_gid = 0;
+  for (unsigned t = 0; t < nt; ++t) max_gid = std::max(max_gid, tmax[t]);
+  const size_t gspan = static_cast<size_t>(max_gid) + 1;
+
+  std::vector<std::vector<int64_t>> gcounts(nt);
+  parallel_for(n, nt, [&](unsigned t, size_t lo, size_t hi) {
+    auto& gc = gcounts[t];
+    gc.assign(gspan, 0);
+    for (size_t i = lo; i < hi; ++i) ++gc[span_at(i) >> shift];
+  });
+  std::vector<int64_t>& gcount = gcounts[0];
+  parallel_for(gspan, nt, [&](unsigned, size_t lo, size_t hi) {
+    for (unsigned t = 1; t < nt; ++t) {
+      const auto& gc = gcounts[t];
+      for (size_t g = lo; g < hi; ++g) gcount[g] += gc[g];
+    }
+  });
+
+  // Level 1 selection: top g_cap groups by (count desc, gid asc).
+  std::vector<int32_t> kept_g;
+  size_t n_gids = 0;
+  for (size_t g = 0; g < gspan; ++g) n_gids += (gcount[g] != 0);
+  if (n_gids > g_cap) {
+    std::vector<std::pair<int32_t, int64_t>> items;
+    items.reserve(n_gids);
+    for (size_t g = 0; g < gspan; ++g) {
+      if (gcount[g]) items.push_back({static_cast<int32_t>(g), gcount[g]});
+    }
+    top_by_count(&items, g_cap, &kept_g);
+  } else {
+    kept_g.reserve(n_gids);
+    for (size_t g = 0; g < gspan; ++g) {
+      if (gcount[g]) kept_g.push_back(static_cast<int32_t>(g));
+    }
+  }
+  std::vector<int32_t> grank(gspan, -1);  // gid -> compact group slot
+  for (size_t j = 0; j < kept_g.size(); ++j) {
+    grank[kept_g[j]] = static_cast<int32_t>(j);
+    uniq_groups[j] = kept_g[j];
+  }
+
+  // Pass B: level-1 inverse (compact ROW id per lookup) + level-2 row
+  // histogram, per-thread rcounts merged. Scratch reused across calls
+  // (thread_local on the CALLING thread): zero-filling fresh 33 MB pages
+  // per call costs more than the passes that use them.
+  thread_local std::vector<int32_t> inv1;
+  thread_local std::vector<uint8_t> keep1;
+  if (inv1.size() < n) inv1.resize(n);
+  if (keep1.size() < n) keep1.resize(n);
+  int32_t* inv1p = inv1.data();
+  uint8_t* keep1p = keep1.data();
+  std::vector<std::vector<int64_t>> rcounts(nt);
+  parallel_for(n, nt, [&](unsigned t, size_t lo, size_t hi) {
+    auto& rc = rcounts[t];
+    rc.assign(static_cast<size_t>(g_cap_rows), 0);
+    for (size_t i = lo; i < hi; ++i) {
+      const int32_t v = span_at(i);
+      const int32_t gid = v >> shift;
+      const int32_t off = v & mask;
+      const int32_t r = grank[gid];
+      if (r < 0) {  // dropped (overflow): numpy maps the slot to 0
+        inv1p[i] = off;
+        keep1p[i] = 0;
+      } else {
+        inv1p[i] = r * grp + off;
+        keep1p[i] = 1;
+        ++rc[inv1p[i]];
+      }
+    }
+  });
+  std::vector<int64_t>& rcount = rcounts[0];
+  parallel_for(static_cast<size_t>(g_cap_rows), nt,
+               [&](unsigned, size_t lo, size_t hi) {
+    for (unsigned t = 1; t < nt; ++t) {
+      const auto& rc = rcounts[t];
+      for (size_t r = lo; r < hi; ++r) rcount[r] += rc[r];
+    }
+  });
+
+  // Level 2 selection: top u2_cap unique rows by (count desc, row asc).
+  std::vector<int32_t> kept_r;
+  size_t n_rows = 0;
+  for (size_t r = 0; r < rcount.size(); ++r) n_rows += (rcount[r] != 0);
+  if (n_rows > static_cast<size_t>(u2_cap)) {
+    std::vector<std::pair<int32_t, int64_t>> items;
+    items.reserve(n_rows);
+    for (size_t r = 0; r < rcount.size(); ++r) {
+      if (rcount[r]) items.push_back({static_cast<int32_t>(r), rcount[r]});
+    }
+    top_by_count(&items, static_cast<size_t>(u2_cap), &kept_r);
+  } else {
+    kept_r.reserve(n_rows);
+    for (size_t r = 0; r < rcount.size(); ++r) {
+      if (rcount[r]) kept_r.push_back(static_cast<int32_t>(r));
+    }
+  }
+  std::vector<int32_t> rslot(static_cast<size_t>(g_cap_rows), -1);
+  for (size_t j = 0; j < kept_r.size(); ++j) {
+    rslot[kept_r[j]] = static_cast<int32_t>(j);
+    row_sel[j] = kept_r[j];
+  }
+
+  // Pass C: final slot per lookup (disjoint writes — fully parallel).
+  parallel_for(n, nt, [&](unsigned, size_t lo, size_t hi) {
+    for (size_t i = lo; i < hi; ++i) {
+      const int32_t s = keep1p[i] ? rslot[inv1p[i]] : -1;
+      inv2[i] = s < 0 ? 0 : s;
+      keep[i] = s < 0 ? 0.0f : 1.0f;
+    }
+  });
 }
 
 // dedupe_two_level(idx_bytes, n, g_cap_rows, u2_cap, group)
@@ -316,96 +496,77 @@ PyObject* py_dedupe_two_level(PyObject*, PyObject* args) {
   float* keep = reinterpret_cast<float*>(PyBytes_AS_STRING(keep_obj));
   {
     Py_BEGIN_ALLOW_THREADS;
-    const int32_t grp = static_cast<int32_t>(group);
-    int shift = 0;
-    while ((1 << shift) < grp) ++shift;
-    const int32_t mask = grp - 1;
-    // Group-id range: vocab sizes here are <= a few million, so a dense
-    // count/rank array per gid (vocab/group entries) is small and turns every
-    // per-element map lookup into an array access (4x over unordered_map,
-    // measured at the 8.4M-index multihost batch).
-    int32_t max_gid = 0;
-    for (size_t i = 0; i < n; ++i) {
-      const int32_t g = idx[i] >> shift;
-      if (g > max_gid) max_gid = g;
-    }
-    const size_t gspan = static_cast<size_t>(max_gid) + 1;
-    // Level 1: count per GROUP id, keep top g_cap by (count desc, gid asc).
-    std::vector<int64_t> gcount(gspan, 0);
-    for (size_t i = 0; i < n; ++i) ++gcount[idx[i] >> shift];
-    std::vector<int32_t> kept_g;
-    size_t n_gids = 0;
-    for (size_t g = 0; g < gspan; ++g) n_gids += (gcount[g] != 0);
-    if (n_gids > g_cap) {
-      std::vector<std::pair<int32_t, int64_t>> items;
-      items.reserve(n_gids);
-      for (size_t g = 0; g < gspan; ++g) {
-        if (gcount[g]) items.push_back({static_cast<int32_t>(g), gcount[g]});
-      }
-      top_by_count(&items, g_cap, &kept_g);
-    } else {
-      kept_g.reserve(n_gids);
-      for (size_t g = 0; g < gspan; ++g) {
-        if (gcount[g]) kept_g.push_back(static_cast<int32_t>(g));
-      }
-    }
-    std::vector<int32_t> grank(gspan, -1);  // gid -> compact group slot
-    for (size_t j = 0; j < kept_g.size(); ++j) {
-      grank[kept_g[j]] = static_cast<int32_t>(j);
-      uniq_groups[j] = kept_g[j];
-    }
-    // Level 1 inverse (compact ROW id per lookup) + level-2 row counts.
-    // Compact row ids are < g_cap * group == g_cap_rows: dense again.
-    // Scratch reused across calls (thread_local): zero-filling fresh pages
-    // for these per call costs more than the passes that use them.
-    thread_local std::vector<int32_t> inv1;
-    thread_local std::vector<uint8_t> keep1;
-    if (inv1.size() < n) inv1.resize(n);
-    if (keep1.size() < n) keep1.resize(n);
-    std::vector<int64_t> rcount(static_cast<size_t>(g_cap_rows), 0);
-    for (size_t i = 0; i < n; ++i) {
-      const int32_t gid = idx[i] >> shift;
-      const int32_t off = idx[i] & mask;
-      const int32_t r = grank[gid];
-      if (r < 0) {  // dropped (overflow): numpy maps the slot to 0
-        inv1[i] = off;
-        keep1[i] = 0;
-      } else {
-        inv1[i] = r * grp + off;
-        keep1[i] = 1;
-        ++rcount[inv1[i]];
-      }
-    }
-    // Level 2: keep top u2_cap unique ROWS by (count desc, row asc).
-    std::vector<int32_t> kept_r;
-    size_t n_rows = 0;
-    for (size_t r = 0; r < rcount.size(); ++r) n_rows += (rcount[r] != 0);
-    if (n_rows > static_cast<size_t>(u2_cap)) {
-      std::vector<std::pair<int32_t, int64_t>> items;
-      items.reserve(n_rows);
-      for (size_t r = 0; r < rcount.size(); ++r) {
-        if (rcount[r]) items.push_back({static_cast<int32_t>(r), rcount[r]});
-      }
-      top_by_count(&items, static_cast<size_t>(u2_cap), &kept_r);
-    } else {
-      kept_r.reserve(n_rows);
-      for (size_t r = 0; r < rcount.size(); ++r) {
-        if (rcount[r]) kept_r.push_back(static_cast<int32_t>(r));
-      }
-    }
-    std::vector<int32_t> rslot(static_cast<size_t>(g_cap_rows), -1);
-    for (size_t j = 0; j < kept_r.size(); ++j) {
-      rslot[kept_r[j]] = static_cast<int32_t>(j);
-      row_sel[j] = kept_r[j];
-    }
-    for (size_t i = 0; i < n; ++i) {
-      const int32_t s = keep1[i] ? rslot[inv1[i]] : -1;
-      inv2[i] = s < 0 ? 0 : s;
-      keep[i] = s < 0 ? 0.0f : 1.0f;
-    }
+    dedupe_core(idx, n, nullptr, 0, g_cap, g_cap_rows, u2_cap,
+                static_cast<int32_t>(group), uniq_groups.data(),
+                row_sel.data(), inv2, keep);
     Py_END_ALLOW_THREADS;
   }
   PyBuffer_Release(&idx_buf);
+  PyObject* uniq_b = make_bytes_result(uniq_groups.data(),
+                                       uniq_groups.size() * 4);
+  PyObject* sel_b = make_bytes_result(row_sel.data(), row_sel.size() * 4);
+  if (!uniq_b || !sel_b) {
+    Py_XDECREF(uniq_b);
+    Py_XDECREF(sel_b);
+    Py_DECREF(inv_obj);
+    Py_DECREF(keep_obj);
+    return nullptr;
+  }
+  PyObject* out = PyTuple_Pack(4, uniq_b, sel_b, inv_obj, keep_obj);
+  Py_DECREF(uniq_b);
+  Py_DECREF(sel_b);
+  Py_DECREF(inv_obj);
+  Py_DECREF(keep_obj);
+  return out;
+}
+
+// dedupe_two_level_joint(q_bytes, d_bytes, g_cap_rows, u2_cap, group)
+//   -> (uniq_bytes, row_sel_bytes, inv2_bytes [nq+nd] i32, keep_bytes).
+// The union dedupe over BOTH towers' indices without the per-step host
+// concat (q first in inv/keep order — matches np.concatenate([q, d])).
+PyObject* py_dedupe_two_level_joint(PyObject*, PyObject* args) {
+  Py_buffer q_buf, d_buf;
+  long long g_cap_rows, u2_cap, group;
+  if (!PyArg_ParseTuple(args, "y*y*LLL", &q_buf, &d_buf, &g_cap_rows,
+                        &u2_cap, &group)) {
+    return nullptr;
+  }
+  if (group <= 0 || g_cap_rows % group != 0 ||
+      (group & (group - 1)) != 0) {
+    PyBuffer_Release(&q_buf);
+    PyBuffer_Release(&d_buf);
+    PyErr_SetString(PyExc_ValueError, "bad group / g_cap_rows");
+    return nullptr;
+  }
+  const size_t nq = static_cast<size_t>(q_buf.len) / sizeof(int32_t);
+  const size_t nd = static_cast<size_t>(d_buf.len) / sizeof(int32_t);
+  const size_t n = nq + nd;
+  const size_t g_cap = static_cast<size_t>(g_cap_rows / group);
+  std::vector<int32_t> uniq_groups(g_cap, kSkipSentinelGid);
+  std::vector<int32_t> row_sel(static_cast<size_t>(u2_cap), 0);
+  PyObject* inv_obj = PyBytes_FromStringAndSize(
+      nullptr, static_cast<Py_ssize_t>(n * 4));
+  PyObject* keep_obj = PyBytes_FromStringAndSize(
+      nullptr, static_cast<Py_ssize_t>(n * 4));
+  if (!inv_obj || !keep_obj) {
+    Py_XDECREF(inv_obj);
+    Py_XDECREF(keep_obj);
+    PyBuffer_Release(&q_buf);
+    PyBuffer_Release(&d_buf);
+    return nullptr;
+  }
+  int32_t* inv2 = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(inv_obj));
+  float* keep = reinterpret_cast<float*>(PyBytes_AS_STRING(keep_obj));
+  {
+    Py_BEGIN_ALLOW_THREADS;
+    dedupe_core(static_cast<const int32_t*>(q_buf.buf), nq,
+                static_cast<const int32_t*>(d_buf.buf), nd, g_cap,
+                g_cap_rows, u2_cap, static_cast<int32_t>(group),
+                uniq_groups.data(), row_sel.data(), inv2, keep);
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&q_buf);
+  PyBuffer_Release(&d_buf);
   PyObject* uniq_b = make_bytes_result(uniq_groups.data(),
                                        uniq_groups.size() * 4);
   PyObject* sel_b = make_bytes_result(row_sel.data(), row_sel.size() * 4);
@@ -433,6 +594,9 @@ PyMethodDef kMethods[] = {
     {"dedupe_two_level", py_dedupe_two_level, METH_VARARGS,
      "dedupe_two_level(idx_bytes, g_cap_rows, u2_cap, group) -> "
      "(uniq_bytes, row_sel_bytes, inv2_bytes, keep_bytes)"},
+    {"dedupe_two_level_joint", py_dedupe_two_level_joint, METH_VARARGS,
+     "dedupe_two_level_joint(q_bytes, d_bytes, g_cap_rows, u2_cap, group) "
+     "-> (uniq_bytes, row_sel_bytes, inv2_bytes, keep_bytes)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -111,3 +111,32 @@ def test_train_from_file_e2e(tmp_path):
     # (1/80 = 1.25% random recall@1).
     assert metrics["recall@1"] >= 0.5, metrics
     assert metrics["num_queries"] == 80
+
+
+def test_pipelined_batch_iterator_bit_identical():
+    """pipeline_workers>1 (threaded batch build with ordered reassembly)
+    must produce the exact serial batch stream — both the global-dedupe
+    multi-host branch and the simple per-shard branch."""
+    import numpy as np
+
+    from dssm_tpu.config import DataConfig, TowerConfig
+    from dssm_tpu.data import loader, toy
+
+    tower = TowerConfig(vocab_size=8192, embed_width=32, hidden_dims=(24,),
+                        semantic_dim=16)
+    data = DataConfig(max_trigrams=16)
+    pairs = toy.make_toy_pairs(1024, vocab_words=128, seed=3)
+    hashed = loader.hash_pairs(pairs, tower, data)
+    for pc, pi in ((4, 1), (1, 0)):
+        kw = dict(global_batch=256, sequence=False, seed=9,
+                  process_index=pi, process_count=pc,
+                  dedup_unique=1024, dedup_group=8, dedup_unique_rows=512,
+                  dedup_joint=True, wire_compress=True, sort_rows=True)
+        serial = loader.batch_iterator(hashed, **kw)
+        piped = loader.batch_iterator(hashed, **kw, pipeline_workers=3)
+        for _ in range(9):  # crosses an epoch boundary (4 batches/epoch)
+            a, b = next(serial), next(piped)
+            assert a.keys() == b.keys()
+            for k in a:
+                assert a[k].dtype == b[k].dtype, k
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -127,3 +127,26 @@ def test_trigram_module_routes_through_native(mod):
         del os.environ["DSSM_NO_NATIVE"]
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_allclose(a[1], b[1])
+
+
+@pytest.mark.parametrize("nthreads", ["1", "4"])
+def test_dedupe_joint_bit_exact_and_thread_invariant(mod, nthreads,
+                                                     monkeypatch):
+    """The two-buffer C++ joint entry (no host concat) must be bit-exact with
+    the numpy concat path, independent of DSSM_DEDUPE_THREADS (histograms
+    merge by integer addition; selection runs on merged arrays)."""
+    from dssm_tpu.kernels.dedup_embed import dedupe_two_level_numpy
+
+    monkeypatch.setenv("DSSM_DEDUPE_THREADS", nthreads)
+    rng = np.random.default_rng(21)
+    # Big enough to cross the threading threshold (1 << 17 entries).
+    q = rng.integers(0, 120_000, size=(2048, 32), dtype=np.int32)
+    d = rng.integers(0, 120_000, size=(2048, 48), dtype=np.int32)
+    nat = native.dedupe_two_level_joint(q, d, 2048, 1024, 8)
+    assert nat is not None
+    both = np.concatenate([q.reshape(-1), d.reshape(-1)])
+    ref = dedupe_two_level_numpy(both, 2048, 1024, 8)
+    for name, a, b in zip(("uniq", "row_sel", "inv2", "keep"), nat, ref):
+        np.testing.assert_array_equal(np.asarray(a).reshape(-1),
+                                      np.asarray(b).reshape(-1),
+                                      err_msg=name)

@@ -311,3 +311,93 @@ def test_embedding_bag_kernel_rejects_bad_shapes():
     idx = jnp.zeros((16, 4), jnp.int32)
     wgt = jnp.zeros((16, 4), jnp.float32)
     assert embedding_bag_pallas(table, idx, wgt, interpret=True) is None
+
+
+def _joint_inputs(seed=9, rows=256, kq=8, kd=16, gr=256, u2=128, h=128,
+                  dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    compact = jnp.asarray(rng.normal(size=(gr, h)).astype(dtype))
+    # row_sel: distinct compact rows (sorted prefix), padded with 0
+    sel = np.zeros((u2,), dtype=np.int32)
+    picked = np.sort(rng.choice(gr, size=u2 - 8, replace=False))
+    sel[:u2 - 8] = picked
+    q_inv = jnp.asarray(rng.integers(0, u2, size=(rows, kq)).astype(np.int32))
+    q_wgt = jnp.asarray(rng.uniform(0, 2, size=(rows, kq)).astype(np.float32))
+    d_inv = jnp.asarray(rng.integers(0, u2, size=(rows, kd)).astype(np.int32))
+    d_wgt = jnp.asarray(rng.uniform(0, 2, size=(rows, kd)).astype(np.float32))
+    return compact, jnp.asarray(sel), q_inv, q_wgt, d_inv, d_wgt
+
+
+def _joint_ref(compact, sel, q_inv, q_wgt, d_inv, d_wgt):
+    from dssm_tpu.kernels.dedup_embed import lookup_from_compact, select_rows
+
+    c2 = select_rows(compact, sel)
+    return (lookup_from_compact(c2, q_inv, q_wgt),
+            lookup_from_compact(c2, d_inv, d_wgt))
+
+
+def test_joint_lookup_kernel_matches_xla():
+    """Fused select+count+matmul joint kernel (VERDICT r3 directive 3):
+    forward parity for both towers, including asymmetric Kq != Kd."""
+    from dssm_tpu.kernels.pallas_count import joint_lookup_pallas
+
+    compact, sel, q_inv, q_wgt, d_inv, d_wgt = _joint_inputs()
+    out = joint_lookup_pallas(compact, sel, q_inv, q_wgt, d_inv, d_wgt,
+                              interpret=True)
+    assert out is not None
+    refs = _joint_ref(compact, sel, q_inv, q_wgt, d_inv, d_wgt)
+    for got, want, name in zip(out, refs, ("q", "d")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_joint_lookup_kernel_grads_match_xla():
+    """The fused bwd kernel yields the COMBINED d_compact (both towers'
+    contributions through the select transpose) in one pass."""
+    from dssm_tpu.kernels.pallas_count import joint_lookup_pallas
+
+    compact, sel, q_inv, q_wgt, d_inv, d_wgt = _joint_inputs(seed=10)
+
+    def loss_p(c):
+        qo, do = joint_lookup_pallas(c, sel, q_inv, q_wgt, d_inv, d_wgt,
+                                     interpret=True)
+        return (qo ** 2).sum() + 0.5 * (do ** 2).sum()
+
+    def loss_x(c):
+        qo, do = _joint_ref(c, sel, q_inv, q_wgt, d_inv, d_wgt)
+        return (qo ** 2).sum() + 0.5 * (do ** 2).sum()
+
+    g_p = jax.grad(loss_p)(compact)
+    g_x = jax.grad(loss_x)(compact)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_joint_lookup_kernel_select_chunking():
+    """gr spanning multiple _SEL_CHUNK column chunks (the in-kernel one-hot
+    select is built chunked to bound VMEM temporaries)."""
+    from dssm_tpu.kernels.pallas_count import joint_lookup_pallas
+
+    compact, sel, q_inv, q_wgt, d_inv, d_wgt = _joint_inputs(
+        seed=11, gr=1152, u2=256)
+    out = joint_lookup_pallas(compact, sel, q_inv, q_wgt, d_inv, d_wgt,
+                              interpret=True)
+    assert out is not None
+    refs = _joint_ref(compact, sel, q_inv, q_wgt, d_inv, d_wgt)
+    for got, want, name in zip(out, refs, ("q", "d")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_joint_lookup_kernel_rejects_bad_shapes():
+    from dssm_tpu.kernels.pallas_count import joint_lookup_pallas
+
+    compact, sel, q_inv, q_wgt, d_inv, d_wgt = _joint_inputs()
+    # u2 not a multiple of 128
+    assert joint_lookup_pallas(compact, sel[:100], q_inv, q_wgt, d_inv,
+                               d_wgt, interpret=True) is None
+    # VMEM budget: multihost caps (gr=16384, u2=8192, h=384) must fall back
+    big_c = jnp.zeros((16384, 384), jnp.float32)
+    big_sel = jnp.zeros((8192,), jnp.int32)
+    assert joint_lookup_pallas(big_c, big_sel, q_inv, q_wgt, d_inv, d_wgt,
+                               interpret=True) is None
