@@ -35,6 +35,23 @@ def _supported(rows: int, u2: int, h: int, k: int) -> bool:
     )
 
 
+def _u2_block(u2: int, h: int, tr: int, csize: int, extra_f32_uh: int = 0
+              ) -> Optional[int]:
+    """Largest u2 block (divisor of u2, multiple of 128) whose VMEM working
+    set fits: cnt [tr, u2b] f32 + compact2 block [u2b, h] + in/out tiles
+    (+ the bwd accumulator when extra_f32_uh). The flagship caps fit whole
+    (u2b == u2, single j block — the original kernel); the multihost caps
+    (u2=8192, h=384) run column-blocked."""
+    u2b = u2
+    while u2b >= 128:
+        need = (tr * u2b * 4 + u2b * h * csize + extra_f32_uh * u2b * h * 4
+                + 2 * tr * h * 4 + 4 * tr * 64 * 8)
+        if need < 12 * 1024 * 1024 and u2 % u2b == 0:
+            return u2b
+        u2b //= 2
+    return None
+
+
 _K_CHUNK = 8  # predication granularity of the K unroll (see _tile_kmax)
 
 
@@ -52,11 +69,12 @@ def _tile_kmax(wgt2d: jax.Array, tr: int) -> jax.Array:
     return jnp.max(last.reshape(-1, tr), axis=1).astype(jnp.int32)
 
 
-def _count_tile(kmax, k, inv_ref, wgt_ref, cnt_sc):
-    """cnt_sc [TR, U2] = count matrix of this row tile, K-chunk predicated."""
+def _count_tile(kmax, k, inv_ref, wgt_ref, cnt_sc, col0=0):
+    """cnt_sc [TR, U2B] = count-matrix columns [col0, col0+U2B) of this row
+    tile, K-chunk predicated."""
     tr = inv_ref.shape[0]
     u2 = cnt_sc.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tr, u2), 1)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tr, u2), 1)
     cnt_sc[:] = jnp.zeros((tr, u2), dtype=jnp.float32)
     for c0 in range(0, k, _K_CHUNK):
         @pl.when(c0 < kmax)
@@ -68,27 +86,40 @@ def _count_tile(kmax, k, inv_ref, wgt_ref, cnt_sc):
             cnt_sc[:] = cnt
 
 
-def _fwd_kernel(k, compute_dtype, kmax_ref, inv_ref, wgt_ref, compact_ref,
-                out_ref, cnt_sc):
+def _fwd_kernel(k, u2b, compute_dtype, kmax_ref, inv_ref, wgt_ref,
+                compact_ref, out_ref, cnt_sc):
+    # Grid (row tiles, u2 column blocks), j fastest: the out tile stays
+    # resident while the count columns sweep — accumulation over j.
     i = pl.program_id(0)
-    _count_tile(kmax_ref[i], k, inv_ref, wgt_ref, cnt_sc)
-    out_ref[:] = jnp.dot(
+    j = pl.program_id(1)
+    _count_tile(kmax_ref[i], k, inv_ref, wgt_ref, cnt_sc, col0=j * u2b)
+    contrib = jnp.dot(
         cnt_sc[:].astype(compute_dtype), compact_ref[:],
         preferred_element_type=jnp.float32,
     )
 
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = contrib
 
-def _bwd_kernel(k, compute_dtype, kmax_ref, inv_ref, wgt_ref, g_ref, dc_ref,
-                acc, cnt_sc):
-    """Grid over row tiles; accumulate d_compact2 += count_tile.T @ g_tile."""
-    i = pl.program_id(0)
-    ni = pl.num_programs(0)
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _bwd_kernel(k, u2b, compute_dtype, kmax_ref, inv_ref, wgt_ref, g_ref,
+                dc_ref, acc, cnt_sc):
+    """Grid (u2 blocks, row tiles), i fastest; per block accumulate
+    d_compact2[j] += count_tile.T @ g_tile over all row tiles."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    _count_tile(kmax_ref[i], k, inv_ref, wgt_ref, cnt_sc)
+    _count_tile(kmax_ref[i], k, inv_ref, wgt_ref, cnt_sc, col0=j * u2b)
     acc[:] = acc[:] + jnp.dot(
         cnt_sc[:].T.astype(compute_dtype), g_ref[:].astype(compute_dtype),
         preferred_element_type=jnp.float32,
@@ -103,21 +134,22 @@ def _fwd_call(compact2, inv2d, wgt2d, interpret):
     rows, k = inv2d.shape
     u2, h = compact2.shape
     tr = min(_ROW_TILE, rows)
-    kernel = functools.partial(_fwd_kernel, k, compact2.dtype)
+    u2b = _u2_block(u2, h, tr, compact2.dtype.itemsize)
+    kernel = functools.partial(_fwd_kernel, k, u2b, compact2.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(rows // tr,),
+        grid=(rows // tr, u2 // u2b),
         in_specs=[
-            pl.BlockSpec((tr, k), lambda i, *_: (i, 0),
+            pl.BlockSpec((tr, k), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, k), lambda i, *_: (i, 0),
+            pl.BlockSpec((tr, k), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((u2, h), lambda i, *_: (0, 0),
+            pl.BlockSpec((u2b, h), lambda i, j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((tr, h), lambda i, j, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tr, u2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tr, u2b), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -136,22 +168,24 @@ def _fwd_call(compact2, inv2d, wgt2d, interpret):
 def _bwd_call(inv2d, wgt2d, g, u2, h, compute_dtype, interpret):
     rows, k = inv2d.shape
     tr = min(_ROW_TILE, rows)
-    kernel = functools.partial(_bwd_kernel, k, compute_dtype)
+    u2b = _u2_block(u2, h, tr, jnp.dtype(compute_dtype).itemsize,
+                    extra_f32_uh=1)
+    kernel = functools.partial(_bwd_kernel, k, u2b, compute_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(rows // tr,),
+        grid=(u2 // u2b, rows // tr),
         in_specs=[
-            pl.BlockSpec((tr, k), lambda i, *_: (i, 0),
+            pl.BlockSpec((tr, k), lambda j, i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, k), lambda i, *_: (i, 0),
+            pl.BlockSpec((tr, k), lambda j, i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
+            pl.BlockSpec((tr, h), lambda j, i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((u2, h), lambda i, *_: (0, 0),
+        out_specs=pl.BlockSpec((u2b, h), lambda j, i, *_: (j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((u2, h), jnp.float32),
-                        pltpu.VMEM((tr, u2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((u2b, h), jnp.float32),
+                        pltpu.VMEM((tr, u2b), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -203,6 +237,9 @@ def count_lookup_pallas(
     u2, h = compact2.shape
     if not _supported(rows, u2, h, k):
         return None
+    if _u2_block(u2, h, min(_ROW_TILE, rows), compact2.dtype.itemsize,
+                 extra_f32_uh=1) is None:
+        return None
     inv2d = inv.reshape(rows, k).astype(jnp.int32)
     wgt2d = wgt.reshape(rows, k).astype(jnp.float32)
     out = _count_lookup_op(compact2, inv2d, wgt2d, interpret, u2, h,
@@ -224,9 +261,9 @@ _SEL_CHUNK = 512  # one-hot select built in [u2, chunk] column chunks
 
 
 def _joint_vmem_ok(gr, u2, h, tr, csize) -> bool:
-    # compact + compact2 + cnt scratch + select temp + in/out tiles, with
-    # ~25% headroom under a 16 MB/core VMEM budget.
-    need = (gr * h * csize + u2 * h * csize + tr * u2 * 4
+    # compact + compact2 + cnt scratch + count-residual out tiles + select
+    # temp + in/out tiles, with ~25% headroom under a 16 MB/core VMEM budget.
+    need = (gr * h * csize + u2 * h * csize + 3 * tr * u2 * 4
             + u2 * _SEL_CHUNK * 4 + u2 * h * 4 + 2 * tr * h * 4)
     return need < 12 * 1024 * 1024
 
@@ -247,7 +284,13 @@ def _select_compact2(row_sel_ref, compact_ref, compute_dtype):
 
 def _joint_fwd_kernel(kq, kd, compute_dtype, kqmax_ref, kdmax_ref,
                       qinv_ref, qwgt_ref, dinv_ref, dwgt_ref, rowsel_ref,
-                      compact_ref, qout_ref, dout_ref, c2_sc, cnt_sc):
+                      compact_ref, qout_ref, dout_ref, cq_ref, cd_ref,
+                      c2_sc, cnt_sc):
+    """Also WRITES the per-tile count matrices (cq/cd) as residuals: the
+    backward pass then runs as pure MXU matmuls instead of rebuilding the
+    counts — the count build is the single largest VPU stage in the train
+    step (~40% of it), and re-reading [B, u2] f32 from HBM costs ~1/8 of
+    rebuilding it (measured on chip)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -255,17 +298,19 @@ def _joint_fwd_kernel(kq, kd, compute_dtype, kqmax_ref, kdmax_ref,
         c2_sc[:] = _select_compact2(rowsel_ref, compact_ref, compute_dtype)
 
     _count_tile(kqmax_ref[i], kq, qinv_ref, qwgt_ref, cnt_sc)
+    cq_ref[:] = cnt_sc[:]
     qout_ref[:] = jnp.dot(cnt_sc[:].astype(compute_dtype), c2_sc[:],
                           preferred_element_type=jnp.float32)
     _count_tile(kdmax_ref[i], kd, dinv_ref, dwgt_ref, cnt_sc)
+    cd_ref[:] = cnt_sc[:]
     dout_ref[:] = jnp.dot(cnt_sc[:].astype(compute_dtype), c2_sc[:],
                           preferred_element_type=jnp.float32)
 
 
-def _joint_bwd_kernel(kq, kd, compute_dtype, kqmax_ref, kdmax_ref,
-                      qinv_ref, qwgt_ref, dinv_ref, dwgt_ref, rowsel_ref,
-                      gq_ref, gd_ref, dc_ref, dc2_sc, cnt_sc):
-    """dc [gr, h] = sel_oh.T @ (sum_tiles cnt_q.T @ g_q + cnt_d.T @ g_d)."""
+def _joint_bwd_kernel(compute_dtype, cq_ref, cd_ref, rowsel_ref,
+                      gq_ref, gd_ref, dc_ref, dc2_sc):
+    """dc [gr, h] = sel_oh.T @ (sum_tiles cnt_q.T @ g_q + cnt_d.T @ g_d),
+    reading the saved count residuals — no count rebuild, pure MXU."""
     i = pl.program_id(0)
     ni = pl.num_programs(0)
 
@@ -273,13 +318,10 @@ def _joint_bwd_kernel(kq, kd, compute_dtype, kqmax_ref, kdmax_ref,
     def _():
         dc2_sc[:] = jnp.zeros_like(dc2_sc)
 
-    _count_tile(kqmax_ref[i], kq, qinv_ref, qwgt_ref, cnt_sc)
     dc2_sc[:] = dc2_sc[:] + jnp.dot(
-        cnt_sc[:].T.astype(compute_dtype), gq_ref[:].astype(compute_dtype),
-        preferred_element_type=jnp.float32)
-    _count_tile(kdmax_ref[i], kd, dinv_ref, dwgt_ref, cnt_sc)
-    dc2_sc[:] = dc2_sc[:] + jnp.dot(
-        cnt_sc[:].T.astype(compute_dtype), gd_ref[:].astype(compute_dtype),
+        cq_ref[:].T.astype(compute_dtype), gq_ref[:].astype(compute_dtype),
+        preferred_element_type=jnp.float32) + jnp.dot(
+        cd_ref[:].T.astype(compute_dtype), gd_ref[:].astype(compute_dtype),
         preferred_element_type=jnp.float32)
 
     @pl.when(i == ni - 1)
@@ -327,6 +369,10 @@ def _joint_fwd_call(compact, row_sel2d, q_inv, q_wgt, d_inv, d_wgt,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, u2), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, u2), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((u2, h), compact.dtype),
                         pltpu.VMEM((tr, u2), jnp.float32)],
@@ -335,78 +381,69 @@ def _joint_fwd_call(compact, row_sel2d, q_inv, q_wgt, d_inv, d_wgt,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((rows, h), jnp.float32),
-                   jax.ShapeDtypeStruct((rows, h), jnp.float32)],
+                   jax.ShapeDtypeStruct((rows, h), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, u2), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, u2), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * u2 * (kq + kd + 2 * h) + 2 * u2 * gr * h,
             bytes_accessed=(rows * (kq + kd) * 8
                             + gr * h * compact.dtype.itemsize
-                            + 2 * rows * h * 4),
+                            + 2 * rows * h * 4 + 2 * rows * u2 * 4),
             transcendentals=0,
         ),
     )(_tile_kmax(q_wgt, tr), _tile_kmax(d_wgt, tr),
       q_inv, q_wgt, d_inv, d_wgt, row_sel2d, compact)
 
 
-def _joint_bwd_call(row_sel2d, q_inv, q_wgt, d_inv, d_wgt, gq, gd, gr, h,
-                    compute_dtype, interpret):
-    rows, kq = q_inv.shape
-    kd = d_inv.shape[1]
-    u2 = row_sel2d.shape[0]
+def _joint_bwd_call(row_sel2d, cnt_q, cnt_d, gq, gd, gr, h, compute_dtype,
+                    interpret):
+    rows, u2 = cnt_q.shape
     tr = min(_ROW_TILE, rows)
-    kernel = functools.partial(_joint_bwd_kernel, kq, kd, compute_dtype)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(rows // tr,),
-        in_specs=[
-            pl.BlockSpec((tr, kq), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, kq), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, kd), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, kd), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((u2, 1), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((gr, h), lambda i, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((u2, h), jnp.float32),
-                        pltpu.VMEM((tr, u2), jnp.float32)],
-    )
+    kernel = functools.partial(_joint_bwd_kernel, compute_dtype)
     return pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, u2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, u2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u2, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gr, h), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((u2, h), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((gr, h), jnp.float32),
         interpret=interpret,
-    )(_tile_kmax(q_wgt, tr), _tile_kmax(d_wgt, tr),
-      q_inv, q_wgt, d_inv, d_wgt, row_sel2d, gq, gd)
+    )(cnt_q, cnt_d, row_sel2d, gq, gd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _joint_lookup_op(compact, row_sel2d, q_inv, q_wgt, d_inv, d_wgt,
                      interpret, dtype_name):
-    return _joint_fwd_call(compact, row_sel2d, q_inv, q_wgt, d_inv, d_wgt,
-                           interpret)
+    qo, do, _, _ = _joint_fwd_call(compact, row_sel2d, q_inv, q_wgt, d_inv,
+                                   d_wgt, interpret)
+    return qo, do
 
 
 def _joint_lookup_fwd(compact, row_sel2d, q_inv, q_wgt, d_inv, d_wgt,
                       interpret, dtype_name):
-    outs = _joint_fwd_call(compact, row_sel2d, q_inv, q_wgt, d_inv, d_wgt,
-                           interpret)
-    return outs, (row_sel2d, q_inv, q_wgt, d_inv, d_wgt, compact.shape)
+    qo, do, cnt_q, cnt_d = _joint_fwd_call(compact, row_sel2d, q_inv, q_wgt,
+                                           d_inv, d_wgt, interpret)
+    return (qo, do), (row_sel2d, cnt_q, cnt_d, compact.shape)
 
 
 def _joint_lookup_bwd(interpret, dtype_name, residuals, gs):
-    row_sel2d, q_inv, q_wgt, d_inv, d_wgt, cshape = residuals
+    row_sel2d, cnt_q, cnt_d, cshape = residuals
     gq, gd = gs
     cdtype = jnp.dtype(dtype_name)
-    dc = _joint_bwd_call(row_sel2d, q_inv, q_wgt, d_inv, d_wgt, gq, gd,
+    dc = _joint_bwd_call(row_sel2d, cnt_q, cnt_d, gq, gd,
                          cshape[0], cshape[1], cdtype, interpret)
     return dc.astype(cdtype), None, None, None, None, None
 

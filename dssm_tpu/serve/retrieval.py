@@ -7,12 +7,14 @@ serving" goal requires. Design:
   build_doc_index: doc-tower forward over the corpus (the SAME fast path as
       training: dedup compact-gather + Pallas kernels, padded tail batches)
       -> [N, D] unit-norm f32 matrix.
-  top_k: brute-force scored on device, chunked over queries — one
-      [C, N] MXU matmul per chunk, never materializing [Q, N] on host.
-      Exact (cosine == dot for unit vectors); at DSSM's 128-d embeddings a
-      v5e chip scores ~10^9 docs/s per query chunk, so brute force covers
-      any corpus that fits HBM; beyond that, shard the index over 'data'
-      and psum-merge per-shard top-k (documented extension, not built).
+  top_k: brute-force scored on device, all query chunks in ONE scan
+      dispatch — [C, N] MXU matmuls, never materializing [Q, N] on host.
+      Exact (cosine == dot for unit vectors); bench.py prints the measured
+      scoring rate at a 65,536-doc index (query*doc pairs/s), so the brute
+      -force envelope is a measured number, not an estimate. Brute force
+      covers any corpus that fits HBM; beyond that, shard the index over
+      'data' and psum-merge per-shard top-k (documented extension, not
+      built).
 
 Index file format: .npz with `doc_emb` [N, D] f32 and `titles` [N] (object
 array of the indexed texts, for human-readable results).
@@ -124,22 +126,38 @@ def _topk_chunk(qc: jax.Array, d_all: jax.Array, k: int):
     return jax.lax.top_k(s, k)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _topk_all(q: jax.Array, d_all: jax.Array, k: int, chunk: int):
+    """All query chunks in ONE dispatch (lax.scan): per-chunk dispatches
+    cost a relay/PCIe round trip each; the [C, N] score block stays on
+    device and only [Q, k] crosses back."""
+    nc = q.shape[0] // chunk
+
+    def body(_, qc):
+        return None, _topk_chunk(qc, d_all, k)
+
+    _, (ss, ii) = jax.lax.scan(body, None,
+                               q[: nc * chunk].reshape(nc, chunk, -1))
+    ss, ii = ss.reshape(-1, k), ii.reshape(-1, k)
+    if nc * chunk < q.shape[0]:  # ragged tail chunk
+        st, it = _topk_chunk(q[nc * chunk:], d_all, k)
+        ss = jnp.concatenate([ss, st])
+        ii = jnp.concatenate([ii, it])
+    return ss, ii
+
+
 def top_k(
     query_emb: np.ndarray,
     doc_emb: np.ndarray,
     k: int = 10,
     chunk: int = _QUERY_CHUNK,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact brute-force retrieval: (scores [Q, k], doc_ids [Q, k])."""
-    q = np.asarray(query_emb, dtype=np.float32)
-    n_q = q.shape[0]
+    """Exact brute-force retrieval: (scores [Q, k], doc_ids [Q, k]).
+
+    Accepts numpy or device arrays (device arrays avoid a host round trip —
+    jnp.asarray is a no-op for them). One device dispatch for all chunks."""
+    q = jnp.asarray(query_emb, dtype=jnp.float32)
     k = min(k, doc_emb.shape[0])
     d_dev = jnp.asarray(doc_emb, dtype=jnp.float32)
-    scores = np.empty((n_q, k), dtype=np.float32)
-    ids = np.empty((n_q, k), dtype=np.int64)
-    for lo in range(0, n_q, chunk):
-        hi = min(lo + chunk, n_q)
-        s, i = _topk_chunk(jnp.asarray(q[lo:hi]), d_dev, k)
-        scores[lo:hi] = np.asarray(s)
-        ids[lo:hi] = np.asarray(i)
-    return scores, ids
+    ss, ii = _topk_all(q, d_dev, k, min(chunk, q.shape[0]))
+    return np.asarray(ss), np.asarray(ii).astype(np.int64)

@@ -125,8 +125,11 @@ def embed_corpus(
 
     # K batches per dispatch (lax.scan) + ONE stacked [K, B, D] fetch per
     # block; the ragged tail block is padded to a full K x B so a second
-    # compiled shape serves every corpus size.
-    k_block = max(1, min(16, (n_total + batch_size - 1) // batch_size))
+    # compiled shape serves every corpus size. Cap 64: at the full preset's
+    # 65,536-pair corpus that is 4 dispatches instead of 16 (each dispatch
+    # round-trip costs ~40 ms through the relay); the [64, B, D] stacked
+    # outputs are still only ~8 MB.
+    k_block = max(1, min(64, (n_total + batch_size - 1) // batch_size))
     fwd_stacked = _embed_fwd_stacked(cfg.tower, impl, "qd")
 
     qs, ds = [], []

@@ -136,10 +136,21 @@ def make_sparse_train_step_body(
     lr = cfg.train.learning_rate
 
     def loss_from_lookups(dense_params, lq, ld, batch):
-        q = model_base.embed_from_lookup(dense_params, cfg.tower, "q", batch,
-                                         lq, impl=impl)
-        d = model_base.embed_from_lookup(dense_params, cfg.tower, "d", batch,
-                                         ld, impl=impl)
+        if cfg.tower.shared_weights and cfg.tower.arch == "mlp":
+            # Shared MLP towers: run BOTH sides through one stacked tower
+            # call — one fused tower kernel on [2B] rows instead of two on
+            # [B] (better MXU tiling, half the kernel launches fwd and bwd).
+            # The MLP tower ignores batch/prefix, so stacking is exact.
+            b = lq.shape[0]
+            qd = model_base.embed_from_lookup(
+                dense_params, cfg.tower, "q", batch,
+                jnp.concatenate([lq, ld], axis=0), impl=impl)
+            q, d = qd[:b], qd[b:]
+        else:
+            q = model_base.embed_from_lookup(dense_params, cfg.tower, "q",
+                                             batch, lq, impl=impl)
+            d = model_base.embed_from_lookup(dense_params, cfg.tower, "d",
+                                             batch, ld, impl=impl)
         if cfg.loss.mode == "rotate":
             return rotate_loss(q, d, batch["rot_offsets"], cfg.loss.gamma)
         return in_batch_loss(q, d, cfg.loss.gamma, impl=impl)

@@ -401,3 +401,32 @@ def test_joint_lookup_kernel_rejects_bad_shapes():
     big_sel = jnp.zeros((8192,), jnp.int32)
     assert joint_lookup_pallas(big_c, big_sel, q_inv, q_wgt, d_inv, d_wgt,
                                interpret=True) is None
+
+
+def test_count_lookup_u2_blocked_matches_xla():
+    """Multihost-cap shapes (u2=8192, h=384) exceed single-block VMEM; the
+    kernel must run column-blocked (j grid) with identical results — fwd and
+    grad (VERDICT r3 directives 1/7: the preset caps must execute on the
+    Pallas path, not silently fall back)."""
+    from dssm_tpu.kernels.dedup_embed import lookup_from_compact
+    from dssm_tpu.kernels.pallas_count import _u2_block, count_lookup_pallas
+
+    rng = np.random.default_rng(12)
+    rows, k, u2, h = 256, 8, 8192, 384
+    assert _u2_block(u2, h, 256, 4) not in (None, u2)  # really blocked
+    compact2 = jnp.asarray(rng.normal(size=(u2, h)).astype(np.float32))
+    inv = jnp.asarray(rng.integers(0, u2, size=(rows, k)).astype(np.int32))
+    wgt = jnp.asarray(rng.uniform(0, 2, size=(rows, k)).astype(np.float32))
+
+    out = count_lookup_pallas(compact2, inv, wgt, interpret=True)
+    assert out is not None
+    ref = lookup_from_compact(compact2, inv, wgt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+    g_p = jax.grad(
+        lambda c: (count_lookup_pallas(c, inv, wgt, interpret=True) ** 2).sum()
+    )(compact2)
+    g_x = jax.grad(lambda c: (lookup_from_compact(c, inv, wgt) ** 2).sum())(
+        compact2)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4,
+                               atol=1e-4)

@@ -114,6 +114,18 @@ def main():
 
         c0 = timed("sel-matmul (once)", body_sel, c0)
 
+        # 1b2. fused joint kernel: select + both count builds + both matmuls
+        # in ONE dispatch (kernels/pallas_count.joint_lookup_pallas)
+        def body_joint(cmp, b):
+            from dssm_tpu.kernels.dedup_embed import joint_lookup_from_compact
+
+            lq, ld = joint_lookup_from_compact(
+                cmp, b["sel"], b["q_inv"], b["q_wgt"], b["d_inv"],
+                b["d_wgt"], compute_dtype, impl="pallas")
+            return cmp, jnp.sum(lq[:, 0]) + jnp.sum(ld[:, 0])
+
+        c0 = timed("joint fused sel+count (Pallas)", body_joint, c0)
+
         # 1c. count-build + count-matmul both sides (XLA), from compact2
         compact2 = jnp.asarray(
             np.random.default_rng(0).normal(size=(u2, table.shape[1]))
