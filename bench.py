@@ -246,6 +246,37 @@ def main():
                 value = batch_size / t_best
         except Exception as e:
             print(f"# bf16-table path failed: {e}", file=sys.stderr)
+        try:
+            # int8 table + per-row scale + SR grid updates: quarters table
+            # HBM/DMA bytes (tests/test_int8_table.py for parity).
+            from dssm_tpu.config import validate
+            from dssm_tpu.train.loop import make_multi_train_step
+            from dssm_tpu.train.state import create_run_state
+
+            cfg8 = validate(cfg.replace(
+                tower=cfg.tower.replace(table_dtype="int8"),
+                train=cfg.train.replace(table_optimizer="sgd")))
+            params8 = model_base.init_params(cfg8.tower, seed=0)
+            table8 = params8[next(iter(params8))][
+                model_base.TABLE_KEY[cfg8.tower.arch]]
+            batch8 = sort_batch_rows(select_batch(
+                hashed, np.arange(batch_size), False,
+                dedup_unique=cfg8.data.max_unique,
+                dedup_group=sublane_group(table8.dtype),
+                dedup_unique_rows=cfg8.data.max_unique_rows,
+                dedup_joint=cfg8.tower.shared_weights,
+            ))
+            batch8 = {key: jax.device_put(v) for key, v in batch8.items()}
+            t8 = _measure_multi(
+                make_multi_train_step(cfg8, impl="pallas"),
+                create_run_state(cfg8, params8), batch8, 64, iters=4)
+            print(f"# pallas multi-step int8-table (K=64): "
+                  f"{t8 * 1e3:.3f} ms/step", file=sys.stderr)
+            if t8 < t_best:
+                t_best = t8
+                value = batch_size / t_best
+        except Exception as e:
+            print(f"# int8-table path failed: {e}", file=sys.stderr)
 
     # Roofline ratio (bytes+FLOPs floor vs achieved) for the judged record.
     try:

@@ -45,8 +45,15 @@ class TowerConfig(_Replaceable):
     # "bfloat16" halves table HBM footprint and doubles gather/scatter DMA
     # bandwidth; updates then use stochastic rounding (train.
     # table_stochastic_round) so sub-ulp gradient steps survive in
-    # expectation instead of all rounding to zero.
+    # expectation instead of all rounding to zero. "int8" quarters it:
+    # rows quantize against a per-row f32 scale (the `<table>_scale` param,
+    # fixed at init with table_int8_headroom growth margin); lookups
+    # dequantize after the group gather, updates accumulate in f32 and
+    # stochastically round back to the int8 grid.
     table_dtype: str = ""
+    # int8 only: scale = init_row_absmax * headroom / 127 — the margin the
+    # row may GROW during training before clipping at the grid edge.
+    table_int8_headroom: float = 8.0
 
     @property
     def table_dtype_resolved(self) -> str:
@@ -315,7 +322,7 @@ def validate(cfg: RunConfig) -> RunConfig:
         (t.vocab_size > 1, f"tower.vocab_size {t.vocab_size}"),
         (tr.batch_size > 0, f"train.batch_size {tr.batch_size}"),
         (tr.steps_per_call >= 1, f"train.steps_per_call {tr.steps_per_call}"),
-        (t.table_dtype in ("", "float32", "bfloat16"),
+        (t.table_dtype in ("", "float32", "bfloat16", "int8"),
          f"tower.table_dtype {t.table_dtype!r}"),
     ]
     if t.table_dtype_resolved == "bfloat16":
@@ -324,6 +331,24 @@ def validate(cfg: RunConfig) -> RunConfig:
                        "data.dedup_lookup and train.sparse_embed_update "
                        "(stochastic-rounding updates run on the sparse "
                        "row-group path only)"))
+    if t.table_dtype_resolved == "int8":
+        checks.append((d.dedup_lookup and tr.sparse_embed_update,
+                       "tower.table_dtype='int8' requires data.dedup_lookup "
+                       "and train.sparse_embed_update (dequantized compact "
+                       "path only)"))
+        checks.append((tr.table_optimizer == "sgd",
+                       "tower.table_dtype='int8' requires "
+                       "table_optimizer='sgd' (the AdaGrad accumulator "
+                       "column cannot live on the int8 grid)"))
+        checks.append((cfg.mesh.model_parallel == 1,
+                       "tower.table_dtype='int8' does not support "
+                       "model_parallel>1 yet (per-row scale is not "
+                       "vocab-sharded)"))
+        checks.append((t.shared_weights,
+                       "tower.table_dtype='int8' requires shared_weights "
+                       "(the dequantized union-dedupe path)"))
+        checks.append((t.table_int8_headroom >= 1.0,
+                       f"tower.table_int8_headroom {t.table_int8_headroom}"))
     if d.dedup_lookup:
         # DMA row-group alignment: 8 rows for f32 tables, 16 bf16, 32 int8.
         group = {4: 8, 2: 16, 1: 32}[

@@ -390,6 +390,15 @@ def gather_compact(
                     mode="fill", fill_value=0)
 
 
+def dequant_compact(compact: jax.Array, scale: jax.Array,
+                    uniq_groups: jax.Array, group: int) -> jax.Array:
+    """int8 compact rows -> f32 against the [V, 1] per-row scale param
+    (sentinel/overflow rows take scale 0 -> exact zero rows)."""
+    rows = expand_group_rows(uniq_groups, group)
+    sc = jnp.take(scale, rows, axis=0, mode="fill", fill_value=0)
+    return compact.astype(jnp.float32) * sc
+
+
 def dedup_embedding_bag(
     table: jax.Array,
     uniq_groups: jax.Array,
@@ -399,8 +408,12 @@ def dedup_embedding_bag(
     group: int = 8,
     impl: str = "xla",
     row_sel: Optional[jax.Array] = None,
+    scale: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Full fwd path: gather compact row-groups then count-matmul."""
+    """Full fwd path: gather compact row-groups (dequantized for int8
+    tables) then count-matmul."""
     compact = gather_compact(table, uniq_groups, group, impl=impl)
+    if scale is not None:
+        compact = dequant_compact(compact, scale, uniq_groups, group)
     return lookup_from_compact(compact, inv, wgt, compute_dtype, row_sel,
                                impl=impl)

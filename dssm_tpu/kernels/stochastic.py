@@ -58,3 +58,24 @@ def sr_add_rows(old_rows: jax.Array, vals: jax.Array,
     """
     acc = old_rows.astype(jnp.float32) + vals.astype(jnp.float32)
     return stochastic_round_bf16(acc, sr_bits(seed, acc.shape))
+
+
+def stochastic_round_int8(x_over_scale: jax.Array, bits: jax.Array) -> jax.Array:
+    """Round grid-relative values to int8 stochastically: floor(x + u),
+    u ~ U[0, 1) from the uint32 bits — E[round(x)] = x on the grid; the
+    result clips at the grid edge (the headroom margin makes clipping rare).
+    Exact grid points round to themselves (u < 1 never carries)."""
+    u = (bits >> np.uint32(8)).astype(jnp.float32) * np.float32(2.0 ** -24)
+    q = jnp.floor(x_over_scale + u)
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def sr_quant_rows_int8(old_q: jax.Array, scale_rows: jax.Array,
+                       vals: jax.Array, seed: jax.Array) -> jax.Array:
+    """int8 table row update: dequantize, accumulate in f32, stochastically
+    round back to each row's int8 grid. Rows with scale 0 (never-initialized
+    padding) stay exactly 0 regardless of vals."""
+    sc = jnp.maximum(scale_rows.astype(jnp.float32), 1e-30)
+    acc = old_q.astype(jnp.float32) + vals.astype(jnp.float32) / sc
+    q = stochastic_round_int8(acc, sr_bits(seed, acc.shape))
+    return jnp.where(scale_rows > 0, q, jnp.int8(0))

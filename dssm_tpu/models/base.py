@@ -42,7 +42,26 @@ def init_params(cfg: TowerConfig, seed: int = 0) -> Params:
     else:
         params = {"query": init_one(cfg, seed), "doc": init_one(cfg, seed + 1)}
     # The sparse first-layer table may use its own storage dtype (bf16 halves
-    # gather/scatter DMA bytes; updates use stochastic rounding).
+    # gather/scatter DMA bytes; updates use stochastic rounding; int8
+    # quarters them against a per-row f32 scale).
+    if cfg.table_dtype_resolved == "int8":
+        import jax.numpy as jnp
+
+        key = TABLE_KEY[cfg.arch]
+        out = {}
+        for t, tp in params.items():
+            w = tp[key].astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+            # Deterministic round-to-nearest at init; training updates use
+            # stochastic rounding. Zero rows (e.g. lane padding never
+            # written) get scale 0 and dequantize to exact zero.
+            scale = absmax * (cfg.table_int8_headroom / 127.0)
+            q = jnp.where(scale > 0, jnp.round(w / jnp.maximum(scale, 1e-30)),
+                          0.0)
+            q = jnp.clip(q, -127, 127).astype(jnp.int8)
+            out[t] = {**{k: v for k, v in tp.items() if k != key},
+                      key: q, f"{key}_scale": scale}
+        return out
     if cfg.table_dtype_resolved != cfg.param_dtype:
         import jax.numpy as jnp
 
@@ -66,6 +85,7 @@ def bag_lookup(
     batch: Dict[str, jax.Array],
     prefix: str,
     impl: str = "xla",
+    scale=None,
 ) -> jax.Array:
     """Shared first-layer lookup: the dedup compact-gather + count-matmul fast
     path when the loader provided {prefix}_uniq/{prefix}_inv, else the plain
@@ -88,6 +108,7 @@ def bag_lookup(
             group=sublane_group(table.dtype),
             impl=impl,
             row_sel=batch["sel"] if joint else batch.get(f"{prefix}_sel"),
+            scale=scale,
         )
     else:
         out = embedding_bag(

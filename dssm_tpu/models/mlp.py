@@ -51,7 +51,8 @@ def table_lookup(
     """
     from dssm_tpu.models.base import bag_lookup
 
-    return bag_lookup(params["W0"], cfg, batch, prefix, impl=impl)
+    return bag_lookup(params["W0"], cfg, batch, prefix, impl=impl,
+                      scale=params.get("W0_scale"))
 
 
 def tower_from_lookup(

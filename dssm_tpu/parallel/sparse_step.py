@@ -130,9 +130,19 @@ def make_parallel_sparse_step_body(
                 return gather_compact(table, uniq, group, impl=impl)
         return gather_compact(table, uniq, group, impl=impl)
 
-    def apply_table_update(table, uniq, vals, seed, group):
-        """One row-group scatter-update: SR for bf16 tables, add otherwise;
-        shard-local over 'model' when the table is vocab-sharded."""
+    def apply_table_update(table, uniq, vals, seed, group, scale=None):
+        """One row-group scatter-update: SR-to-grid for int8, SR for bf16
+        tables, add otherwise; shard-local over 'model' when the table is
+        vocab-sharded (int8 is mp=1-only, enforced by config validate)."""
+        if jnp.dtype(table.dtype) == jnp.int8:
+            from dssm_tpu.kernels.stochastic import sr_quant_rows_int8
+
+            rows = expand_group_rows(uniq, group)
+            old = jnp.take(table, rows, axis=0, mode="fill", fill_value=0)
+            sc = jnp.take(scale, rows, axis=0, mode="fill", fill_value=0)
+            newq = sr_quant_rows_int8(old, sc, vals.astype(jnp.float32),
+                                      seed)
+            return table.at[rows].set(newq, mode="drop")
         sr = (jnp.dtype(table.dtype) == jnp.bfloat16
               and cfg.train.table_stochastic_round)
         if sr:
@@ -172,7 +182,12 @@ def make_parallel_sparse_step_body(
                 raise ValueError(
                     "joint-dedup batches (`uniq`) require shared_weights")
             table = params["shared"][table_key]
+            scale = params["shared"].get(f"{table_key}_scale")
             c = gather_one(table, batch["uniq"], group)
+            if scale is not None:
+                from dssm_tpu.kernels.dedup_embed import dequant_compact
+
+                c = dequant_compact(c, scale, batch["uniq"], group)
 
             def loss_joint(dense_params, c_, b):
                 return loss_from_compacts(dense_params, c_, None, b)
@@ -185,9 +200,11 @@ def make_parallel_sparse_step_body(
             vals = table_update_vals(cfg, g_c, c)
             seed = jnp.asarray(state.step, jnp.int32) * 4
             table = apply_table_update(table, batch["uniq"], vals, seed,
-                                       group)
+                                       group, scale)
             tp = dict(new_dense["shared"])
             tp[table_key] = table
+            if scale is not None:
+                tp[f"{table_key}_scale"] = scale
             return TrainState(step=state.step + 1, params={"shared": tp},
                               opt_state=new_opt), aux
 

@@ -92,8 +92,11 @@ def table_update_vals(cfg: RunConfig, g_compact: jax.Array,
 
 
 def _dense_subtree(params: Dict, table_key: str) -> Dict:
+    # The table AND its int8 per-row scale (non-differentiable state) are
+    # excluded from the densely-optimized subtree.
+    drop = (table_key, f"{table_key}_scale")
     return {
-        tower: {k: v for k, v in tp.items() if k != table_key}
+        tower: {k: v for k, v in tp.items() if k not in drop}
         for tower, tp in params.items()
     }
 
@@ -181,9 +184,10 @@ def make_sparse_train_step_body(
             batch["d_inv"], batch["d_wgt"], compute_dtype, impl=impl)
         return loss_from_lookups(dense_params, lq, ld, batch)
 
-    def apply_table_update(table, uniq, vals, seed):
-        """One row-group scatter-update (SR for bf16 tables, add otherwise),
-        Pallas on TPU with XLA fallback; sentinel slots skipped/dropped."""
+    def apply_table_update(table, uniq, vals, seed, scale=None):
+        """One row-group scatter-update (SR-to-grid for int8, SR for bf16
+        tables, add otherwise), Pallas on TPU with XLA fallback; sentinel
+        slots skipped/dropped."""
         from dssm_tpu.kernels.dedup_embed import expand_group_rows
         from dssm_tpu.kernels.pallas_gather import (
             scatter_add_row_groups,
@@ -192,6 +196,15 @@ def make_sparse_train_step_body(
         )
 
         group = sublane_group(table.dtype)
+        if jnp.dtype(table.dtype) == jnp.int8:
+            from dssm_tpu.kernels.stochastic import sr_quant_rows_int8
+
+            rows = expand_group_rows(uniq, group)
+            old = jnp.take(table, rows, axis=0, mode="fill", fill_value=0)
+            sc = jnp.take(scale, rows, axis=0, mode="fill", fill_value=0)
+            newq = sr_quant_rows_int8(old, sc, vals.astype(jnp.float32),
+                                      seed)
+            return table.at[rows].set(newq, mode="drop")
         use_pallas_scatter = (
             impl in ("pallas", "auto")
             and jax.devices()[0].platform == "tpu"
@@ -226,11 +239,15 @@ def make_sparse_train_step_body(
             if "shared" not in params:
                 raise ValueError(
                     "joint-dedup batches (`uniq`) require shared_weights")
+            from dssm_tpu.kernels.dedup_embed import dequant_compact
             from dssm_tpu.kernels.pallas_gather import sublane_group
 
             table = params["shared"][table_key]
-            c = gather_compact(table, batch["uniq"],
-                               sublane_group(table.dtype), impl=impl)
+            scale = params["shared"].get(f"{table_key}_scale")
+            group = sublane_group(table.dtype)
+            c = gather_compact(table, batch["uniq"], group, impl=impl)
+            if scale is not None:
+                c = dequant_compact(c, scale, batch["uniq"], group)
             (loss, aux), (g_dense, g_c) = jax.value_and_grad(
                 loss_from_compact_joint, argnums=(0, 1), has_aux=True
             )(dense, c, batch)
@@ -238,26 +255,40 @@ def make_sparse_train_step_body(
             new_dense = optax.apply_updates(dense, updates)
             vals = table_update_vals(cfg, g_c, c)
             seed = jnp.asarray(state.step, jnp.int32) * 4
-            table = apply_table_update(table, batch["uniq"], vals, seed)
+            table = apply_table_update(table, batch["uniq"], vals, seed,
+                                       scale)
             tp = dict(new_dense["shared"])
             tp[table_key] = table
+            if scale is not None:
+                tp[f"{table_key}_scale"] = scale
             return TrainState(step=state.step + 1, params={"shared": tp},
                               opt_state=new_opt), aux
 
         if dedup:
             # Differentiate at the compact-row boundary: the table update is
             # then a U-row scatter (U = max_unique), not a B*K-row one.
+            from dssm_tpu.kernels.dedup_embed import dequant_compact
             from dssm_tpu.kernels.pallas_gather import sublane_group
 
             def tab(side):
                 tower = "shared" if "shared" in params else (
                     "query" if side == "q" else "doc")
-                return params[tower][table_key]
+                return params[tower]
 
-            cq = gather_compact(tab("q"), batch["q_uniq"],
-                                sublane_group(tab("q").dtype), impl=impl)
-            cd = gather_compact(tab("d"), batch["d_uniq"],
-                                sublane_group(tab("d").dtype), impl=impl)
+            def gather_side(side):
+                tp_side = tab(side)
+                table = tp_side[table_key]
+                group = sublane_group(table.dtype)
+                c = gather_compact(table, batch[f"{side}_uniq"], group,
+                                   impl=impl)
+                scale = tp_side.get(f"{table_key}_scale")
+                if scale is not None:
+                    c = dequant_compact(c, scale, batch[f"{side}_uniq"],
+                                        group)
+                return c
+
+            cq = gather_side("q")
+            cd = gather_side("d")
             (loss, aux), (g_dense, g_cq, g_cd) = jax.value_and_grad(
                 loss_from_compacts, argnums=(0, 1, 2), has_aux=True
             )(dense, cq, cd, batch)
@@ -283,6 +314,7 @@ def make_sparse_train_step_body(
         for tower in params:
             tp = dict(new_dense[tower])
             table = params[tower][table_key]
+            scale = params[tower].get(f"{table_key}_scale")
             sides = {"shared": ("q", "d"), "query": ("q",), "doc": ("d",)}[tower]
             for side in sides:
                 if dedup:
@@ -293,13 +325,15 @@ def make_sparse_train_step_body(
                             + scatter_ix)
                     scatter_ix += 1
                     table = apply_table_update(table, batch[f"{side}_uniq"],
-                                               vals, seed)
+                                               vals, seed, scale)
                 else:
                     g = g_lq if side == "q" else g_ld
                     table = scatter_table_update(
                         table, batch[f"{side}_idx"], batch[f"{side}_wgt"], g, lr
                     )
             tp[table_key] = table
+            if scale is not None:
+                tp[f"{table_key}_scale"] = scale
             new_params[tower] = tp
         return TrainState(step=state.step + 1, params=new_params,
                           opt_state=new_opt), aux

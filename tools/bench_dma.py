@@ -13,17 +13,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def main(v: int = 500_000 // 8 * 8, h: int = 384, K: int = 64,
+         max_unique: int = 8192, iters: int = 3, gps_list=(32, 64, 128, 256)):
+    """Defaults reproduce the on-chip microbench; tests call with tiny
+    shapes + force_interpret on CPU (tests/test_tools.py) so kernel
+    signature drift breaks CI instead of rotting silently."""
     from dssm_tpu.kernels.pallas_gather import (
         gather_row_groups, scatter_add_row_groups, scatter_sr_row_groups,
         sublane_group)
 
-    v, h = 500_000 // 8 * 8, 384
-    K = 64
-
     for dtype in (jnp.bfloat16, jnp.float32):
         group = sublane_group(dtype)
-        g_slots = 8192 // group  # max_unique rows / group
+        g_slots = max_unique // group  # max_unique rows / group
         rng = np.random.default_rng(0)
         gids = np.sort(rng.choice(v // group, size=g_slots, replace=False)
                        ).astype(np.int32)
@@ -34,7 +35,7 @@ def main():
             rng.normal(size=(g_slots * group, h)).astype(np.float32) * 1e-4))
         mb = 2 * g_slots * group * h * jnp.dtype(dtype).itemsize / 1e6
 
-        for gps in (32, 64, 128, 256):
+        for gps in gps_list:
             if g_slots % gps:
                 continue
 
@@ -49,10 +50,10 @@ def main():
             tbl, ys = fn(tbl)
             float(jnp.sum(ys))
             t0 = time.perf_counter()
-            for _ in range(3):
+            for _ in range(iters):
                 tbl, ys = fn(tbl)
             float(jnp.sum(ys))
-            dt = (time.perf_counter() - t0) / (3 * K)
+            dt = (time.perf_counter() - t0) / (iters * K)
             print(f"[{jnp.dtype(dtype).name}] gather  gps={gps:4d} "
                   f"{dt*1e6:8.1f} us  ({mb/dt/1e3:6.1f} GB/s)", flush=True)
 
@@ -75,10 +76,10 @@ def main():
             tbl, ys = fn(tbl)
             float(jnp.sum(tbl[int(gids[0]) * group, 0]))
             t0 = time.perf_counter()
-            for _ in range(3):
+            for _ in range(iters):
                 tbl, ys = fn(tbl)
             float(jnp.sum(tbl[int(gids[0]) * group, 0]))
-            dt = (time.perf_counter() - t0) / (3 * K)
+            dt = (time.perf_counter() - t0) / (iters * K)
             print(f"[{jnp.dtype(dtype).name}] scatter gps={gps:4d} "
                   f"{dt*1e6:8.1f} us  ({1.5*mb/dt/1e3:6.1f} GB/s)", flush=True)
 
