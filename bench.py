@@ -383,7 +383,8 @@ def main():
             poolv = jax.device_put(
                 poolv / np.linalg.norm(poolv, axis=1, keepdims=True))
 
-            for b_local in (1024, 8192):
+            for b_local, local_cap in ((1024, 0), (1024, 2048), (8192, 0),
+                                       (8192, 4096)):
                 cfgl = cfgm.replace(
                     mesh=cfgm.mesh.replace(data_parallel=1, model_parallel=1))
                 state = create_run_state(cfgl, model_base.init_params(
@@ -395,9 +396,12 @@ def main():
                     process_count=pool_n // b_local,
                     dedup_unique=cfgm.data.max_unique, dedup_group=groupm,
                     dedup_unique_rows=cfgm.data.max_unique_rows,
-                    dedup_joint=True, wire_compress=True, sort_rows=False)
+                    dedup_joint=True, wire_compress=True, sort_rows=False,
+                    local_sel_cap=local_cap, local_sel_shards=1)
                 mb = next(it)
                 offset = 0  # process 0's diagonal offset
+                sel_width = (local_cap if local_cap
+                             else mb["sel"].shape[0])
 
                 def body(state, batch):
                     params = state.params
@@ -407,8 +411,10 @@ def main():
                                        impl="pallas")
 
                     def loss_fn(dense_params, c_):
+                        rs = (batch["sel"] if "sel" in batch
+                              else batch["sel_local"][0])
                         lq, ld = joint_lookup_from_compact(
-                            c_, batch["sel"], batch["q_inv"], batch["q_wgt"],
+                            c_, rs, batch["q_inv"], batch["q_wgt"],
                             batch["d_inv"], batch["d_wgt"], cdt,
                             impl="pallas")
                         q = model_base.embed_from_lookup(
@@ -467,7 +473,8 @@ def main():
                 # ~0.15 ms; the 33.5 MB pool all-gather (~0.37 ms) overlaps.
                 eff = t_step / (t_step + 0.15e-3)
                 print(f"# composed multihost step [B_local={b_local}, caps "
-                      f"16384/8192, pool {pool_n}]: {t_step*1e3:.2f} ms = "
+                      f"16384/8192, sel_width={sel_width}, pool {pool_n}]: "
+                      f"{t_step*1e3:.2f} ms = "
                       f"{b_local/t_step:,.0f} pairs/s/chip; modeled scaling "
                       f"efficiency {eff*100:.1f}%", file=sys.stderr)
         except Exception as e:

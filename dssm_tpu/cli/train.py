@@ -173,6 +173,12 @@ def main(argv: Optional[List[str]] = None) -> None:
         sort_rows=(dedup and not cfg.tower.is_sequence_model
                    and cfg.loss.mode != "rotate"),
         pipeline_workers=cfg.data.pipeline_workers,
+        # Third dedupe level: one slot space per LOCAL data shard (this
+        # host's devices on the mesh data axis).
+        local_sel_cap=(cfg.data.max_unique_rows_local
+                       if dedup and cfg.tower.shared_weights else 0),
+        local_sel_shards=max(1, jax.local_device_count()
+                             // cfg.mesh.model_parallel),
     )
     from dssm_tpu.data import prefetch
     from dssm_tpu.data.loader import LockedIterator

@@ -92,6 +92,14 @@ class DataConfig(_Replaceable):
     # U2: exact unique-row slots (count-matrix width, two-level dedupe).
     # Budget ~= the expected distinct-trigram count per batch.
     max_unique_rows: int = 1024
+    # Third dedupe level (loader.reslot_local, 0 = off): re-slot each DATA
+    # SHARD's lookups into its own slot space of this width. At multi-host
+    # scale max_unique_rows must cover the GLOBAL batch's unique rows (e.g.
+    # 8192 at 65,536 rows) but each shard touches only a fraction — the
+    # on-device count build is O(B_local x K x width) and the row-select is
+    # O(width x max_unique x H), both direct wins. Budget ~= the distinct
+    # -trigram count of ONE shard's rows.
+    max_unique_rows_local: int = 0
     toy_vocab_words: int = 512  # toy dataset: word vocabulary size
     toy_num_pairs: int = 4096  # toy dataset: number of query-title pairs
     # File-backed corpus (data/corpus.py): .tsv/.txt ("query\ttitle" lines)
@@ -290,6 +298,7 @@ def _preset_multihost() -> RunConfig:
                           compute_dtype="bfloat16"),
         data=DataConfig(toy_vocab_words=8192, toy_num_pairs=131072,
                         max_unique=16384, max_unique_rows=8192,
+                        max_unique_rows_local=2048,
                         freq_remap=True, pipeline_workers=8),
         # Vocab-sharded embedding table (TP over 'model') + global negative
         # pool over 'data' — the two BASELINE.json:11 requirements.

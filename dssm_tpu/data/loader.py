@@ -217,6 +217,61 @@ def _global_dedup_local_batch(
     return out
 
 
+def reslot_local(batch: Batch, cap: int, shards: int = 1) -> Batch:
+    """Third dedupe level: re-slot each data shard's lookups into its OWN
+    compact slot space (VERDICT r4: the measured composed multihost step is
+    dominated by count/select work at the GLOBAL unique-row width).
+
+    The global two-level dedupe produces `sel` [u2_global] (compact row per
+    unique-row slot, replicated across hosts — u2_global must cover the
+    whole 65,536-row global batch, e.g. 8192). But each host's B_local rows
+    touch only a fraction of those slots, and the on-device count build is
+    O(B_local x K x width) while the row-select matmul is O(width x gr x h).
+    Re-slotting shrinks width from u2_global to `cap` per shard.
+
+    Emits `sel_local` [shards, cap] — sel_local[s, j] is the COMPACT ROW of
+    shard s's j-th local slot (the composition sel[global_slot]) — and
+    rewrites {q,d}_inv into local slot ids. Lookups whose slot overflows the
+    cap get their weight zeroed (same policy as the global levels). `sel`
+    is dropped. Rows are split into `shards` contiguous blocks matching the
+    mesh's contiguous batch partitioning."""
+    sel = batch["sel"]
+    out = {k: v for k, v in batch.items() if k != "sel"}
+    b = batch["q_inv"].shape[0]
+    if b % shards:
+        raise ValueError(f"batch {b} not divisible by {shards} shards")
+    rows_per = b // shards
+    sel_local = np.zeros((shards, cap), dtype=sel.dtype)
+    q_inv = np.ascontiguousarray(batch["q_inv"]).copy()
+    d_inv = np.ascontiguousarray(batch["d_inv"]).copy()
+    q_wgt = np.array(batch["q_wgt"], copy=True)
+    d_wgt = np.array(batch["d_wgt"], copy=True)
+    for s in range(shards):
+        sl = slice(s * rows_per, (s + 1) * rows_per)
+        qi, di = q_inv[sl], d_inv[sl]
+        qw, dw = q_wgt[sl], d_wgt[sl]
+        both = np.concatenate([qi.reshape(-1), di.reshape(-1)])
+        live = np.concatenate([(qw != 0).reshape(-1), (dw != 0).reshape(-1)])
+        used, counts = np.unique(both[live], return_counts=True)
+        if used.size > cap:
+            keep = np.argsort(-counts, kind="stable")[:cap]
+            keep.sort()
+            used = used[keep]
+        remap = np.zeros((int(sel.shape[0]),), dtype=np.int32)
+        hit = np.zeros((int(sel.shape[0]),), dtype=bool)
+        remap[used] = np.arange(used.size, dtype=np.int32)
+        hit[used] = True
+        sel_local[s, :used.size] = sel[used]
+        for inv, wgt in ((qi, qw), (di, dw)):
+            ok = hit[inv]
+            wgt[~ok] = 0
+            inv[...] = np.where(ok, remap[inv], 0)
+    out["sel_local"] = sel_local
+    out["q_inv"], out["d_inv"] = q_inv, d_inv
+    out["q_wgt"], out["d_wgt"] = q_wgt, d_wgt
+    return out
+
+
 def sort_batch_rows(batch: Batch) -> Batch:
     """Jointly permute the batch's rows (q and d together, so diagonal
     positive labels stay aligned) by descending trigram count. Short texts
@@ -234,7 +289,8 @@ def sort_batch_rows(batch: Batch) -> Batch:
     perm = np.lexsort((-key_q, -key_d))
     out = {}
     for k, v in batch.items():
-        if k in ("uniq", "sel") or k.endswith(("_uniq", "_sel")):
+        if (k in ("uniq", "sel", "sel_local")
+                or k.endswith(("_uniq", "_sel"))):
             out[k] = v
         else:
             out[k] = v[perm]
@@ -362,6 +418,8 @@ def batch_iterator(
     wire_compress: bool = False,
     sort_rows: bool = False,
     pipeline_workers: int = 0,
+    local_sel_cap: int = 0,
+    local_sel_shards: int = 1,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -415,6 +473,9 @@ def batch_iterator(
                                dedup_group, dedup_unique_rows, dedup_joint)
         if sort_rows:
             out = sort_batch_rows(out)
+        if local_sel_cap and "sel" in out:
+            # Third dedupe level: per-data-shard slot spaces (reslot_local).
+            out = reslot_local(out, local_sel_cap, local_sel_shards)
         return compress_wire(out, plan) if wire_compress else out
 
     rs = row_stream()
@@ -480,11 +541,47 @@ def eval_batches(
     dedup_unique: Optional[int] = None, dedup_group: int = 8,
     dedup_unique_rows: Optional[int] = None,
     dedup_joint: bool = False,
+    wire_compress: bool = False,
+    pipeline_workers: int = 0,
 ) -> Iterator[Batch]:
     """One pass over the eval corpus in order, including the ragged tail
-    (a tail batch costs one extra jit specialization in eval — fine)."""
+    (a tail batch costs one extra jit specialization in eval — fine).
+
+    wire_compress shrinks host->device bytes exactly as in training (the
+    embed path consumes inv/wgt, so idx is dead weight); pipeline_workers
+    farms the per-batch dedupe to a thread pool with ordered reassembly —
+    at a 65,536-pair corpus the serial host dedupe dominates eval
+    wall-clock (measured)."""
     n = len(hashed)
-    for start in range(0, n, batch):
+    plan = (wire_dtype_plan(hashed, dedup_unique or 0, dedup_unique_rows)
+            if wire_compress else None)
+
+    def make(start: int) -> Batch:
         rows = np.arange(start, min(start + batch, n))
-        yield select_batch(hashed, rows, sequence, dedup_unique, dedup_group,
+        out = select_batch(hashed, rows, sequence, dedup_unique, dedup_group,
                            dedup_unique_rows, dedup_joint)
+        return compress_wire(out, plan) if wire_compress else out
+
+    starts = range(0, n, batch)
+    if pipeline_workers and pipeline_workers > 1:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=pipeline_workers)
+        try:
+            futs: "deque" = deque()
+            it = iter(starts)
+            for s in it:
+                futs.append(ex.submit(make, s))
+                if len(futs) > pipeline_workers + 1:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
+        finally:
+            try:
+                ex.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
+    else:
+        for s in starts:
+            yield make(s)

@@ -73,9 +73,17 @@ def make_global_batch(batch, mesh, stacked: bool = False):
         return shard_batch(batch, mesh, stacked=stacked)
 
     batch_spec = P(None, DATA_AXIS) if stacked else P(DATA_AXIS)
+    sel_local_spec = P(None, DATA_AXIS, None) if stacked else P(DATA_AXIS,
+                                                                None)
     out = {}
     for k, v in batch.items():
-        if (k in ("rot_offsets", "uniq", "sel")
+        if k == "sel_local":
+            # Per-data-shard slot lists [shards_local, cap] (or [K, shards,
+            # cap] stacked): the leading (post-K) dim concatenates over
+            # hosts into the global data axis.
+            sharding = NamedSharding(mesh, sel_local_spec)
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        elif (k in ("rot_offsets", "uniq", "sel")
                 or k.endswith("_uniq") or k.endswith("_sel")):
             sharding = NamedSharding(mesh, P())
             out[k] = jax.make_array_from_process_local_data(sharding, v)

@@ -91,9 +91,34 @@ def make_parallel_sparse_step_body(
             # builds on TPU (dedup_embed.joint_lookup_from_compact).
             from dssm_tpu.kernels.dedup_embed import joint_lookup_from_compact
 
-            lq, ld = joint_lookup_from_compact(
-                cq, batch["sel"], batch["q_inv"], batch["q_wgt"],
-                batch["d_inv"], batch["d_wgt"], compute_dtype, impl=impl)
+            if "sel_local" in batch:
+                # Per-data-shard slot spaces (loader.reslot_local): each
+                # shard selects/counts against its OWN (much narrower) slot
+                # list — explicit shard_map so the count width is the LOCAL
+                # cap, not the global unique-row count. The replicated
+                # compact's gradient transposes to a psum over 'data'.
+                from jax import shard_map
+
+                def local_fn(c_, s, qi, qw, di, dw):
+                    return joint_lookup_from_compact(
+                        c_, s[0], qi, qw, di, dw, compute_dtype,
+                        impl=base_impl)
+
+                lq, ld = shard_map(
+                    local_fn,
+                    mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                              P(DATA_AXIS, None), P(DATA_AXIS, None),
+                              P(DATA_AXIS, None)),
+                    out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+                    check_vma=False,
+                )(cq, batch["sel_local"], batch["q_inv"], batch["q_wgt"],
+                  batch["d_inv"], batch["d_wgt"])
+            else:
+                lq, ld = joint_lookup_from_compact(
+                    cq, batch["sel"], batch["q_inv"], batch["q_wgt"],
+                    batch["d_inv"], batch["d_wgt"], compute_dtype,
+                    impl=impl)
         else:
             lq = lookup_from_compact(cq, batch["q_inv"], batch["q_wgt"],
                                      compute_dtype, batch.get("q_sel"),

@@ -66,9 +66,15 @@ def shard_batch(batch: Dict, mesh: Mesh, stacked: bool = False) -> Dict:
     front of the batch dim — the multi-step path (make_parallel_multi_step)."""
     sh = NamedSharding(mesh, P(None, DATA_AXIS)) if stacked else batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
+    # Per-data-shard slot lists ([dp, cap], loader.reslot_local): leading dim
+    # IS the data axis.
+    sel_local = NamedSharding(mesh, P(None, DATA_AXIS, None) if stacked
+                              else P(DATA_AXIS, None))
     # rot_offsets ([NEG]) and the dedup unique-row lists ([U]) are not
     # batch-dim data — replicate them.
     def pick(k):
+        if k == "sel_local":
+            return sel_local
         return rep if (k in ("rot_offsets", "uniq", "sel")
                        or k.endswith("_uniq") or k.endswith("_sel")) else sh
 

@@ -34,7 +34,8 @@ def _pad_batch(batch: Dict[str, np.ndarray], to_rows: int) -> Dict:
     ({q,d}_uniq/_sel) are row-count independent and pass through."""
     out = {}
     for k, v in batch.items():
-        if k in ("uniq", "sel") or k.endswith(("_uniq", "_sel")):
+        if (k in ("uniq", "sel", "sel_local")
+                or k.endswith(("_uniq", "_sel"))):
             out[k] = v
             continue
         n = v.shape[0]
@@ -114,13 +115,17 @@ def embed_corpus(
     n_total = len(hashed)
 
     # Host-side batching (slicing + two-level dedupe, C++ data-plane) runs in
-    # a prefetch thread, overlapping device dispatches.
+    # a worker pool + prefetch thread, overlapping device dispatches; the
+    # compressed wire format cuts H2D bytes ~4x (both measured to dominate
+    # eval wall-clock at a 65,536-pair corpus).
     batches = prefetch(eval_batches(
         hashed, batch_size, cfg.tower.is_sequence_model,
         dedup_unique=cfg.data.max_unique if dedup else None,
         dedup_group=group,
         dedup_unique_rows=cfg.data.max_unique_rows if dedup else None,
         dedup_joint=cfg.tower.shared_weights,
+        wire_compress=dedup and not cfg.tower.is_sequence_model,
+        pipeline_workers=max(2, cfg.data.pipeline_workers),
     ), depth=4)
 
     # K batches per dispatch (lax.scan) + ONE stacked [K, B, D] fetch per

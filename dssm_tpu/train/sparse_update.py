@@ -179,8 +179,20 @@ def make_sparse_train_step_body(
         # (dedup_embed.joint_lookup_from_compact).
         from dssm_tpu.kernels.dedup_embed import joint_lookup_from_compact
 
+        if "sel" in batch:
+            row_sel = batch["sel"]
+        else:
+            # Host-local slot space (loader.reslot_local); the single-device
+            # step consumes exactly one shard.
+            sl = batch["sel_local"]
+            if sl.ndim != 2 or sl.shape[0] != 1:
+                raise ValueError(
+                    f"sel_local shape {sl.shape}: the single-device step "
+                    "needs local_sel_shards=1 (multi-shard slot spaces run "
+                    "under the parallel step's shard_map)")
+            row_sel = sl[0]
         lq, ld = joint_lookup_from_compact(
-            c, batch["sel"], batch["q_inv"], batch["q_wgt"],
+            c, row_sel, batch["q_inv"], batch["q_wgt"],
             batch["d_inv"], batch["d_wgt"], compute_dtype, impl=impl)
         return loss_from_lookups(dense_params, lq, ld, batch)
 

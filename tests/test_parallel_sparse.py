@@ -308,3 +308,68 @@ def test_full_contract_pool_65536():
     print(f"\n[contract-pool] global_batch={BG} devices=8 "
           f"loss={loss:.4f} ref={ref_loss:.4f} peak_rss={peak_mb:.0f} MB",
           file=sys.stderr)
+
+
+def test_reslot_local_lookup_equivalence():
+    """loader.reslot_local (third dedupe level): per-shard slot spaces must
+    produce bit-equal lookups when the local cap covers every shard's
+    uniques — single-shard case through the single-device step."""
+    cfg = _cfg()
+    batch = _batch(cfg, joint=True)
+    reslotted = loader.reslot_local(dict(batch), cap=512, shards=1)
+    assert "sel" not in reslotted and reslotted["sel_local"].shape == (1, 512)
+
+    ref_state = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    step = make_train_step(cfg, impl="xla")
+    ref_state2, ref_aux = step(ref_state, batch)
+
+    state = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    step2 = make_train_step(cfg, impl="xla")
+    state2, aux = step2(state, reslotted)
+    np.testing.assert_allclose(float(aux["loss"]), float(ref_aux["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state2.params["shared"]["W0"]),
+        np.asarray(ref_state2.params["shared"]["W0"]), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("dp,mp,impl", [(8, 1, "xla"), (4, 2, "xla"),
+                                        (4, 2, "pallas")])
+def test_parallel_sparse_local_sel_matches_single_device(dp, mp, impl):
+    """Per-data-shard slot spaces under the SPMD step (the multihost
+    lookup-width optimization): each of dp shards carries its own sel_local
+    row; parity vs the single-device step on the plain global-sel batch."""
+    cfg = _cfg(dp, mp)
+    batch = _batch(cfg, joint=True)
+
+    ref_state = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    ref_step = make_train_step(cfg, impl="xla")
+    ref_losses = []
+    for _ in range(2):
+        ref_state, aux = ref_step(ref_state, batch)
+        ref_losses.append(float(aux["loss"]))
+
+    local = loader.reslot_local(dict(batch), cap=256, shards=dp)
+    assert local["sel_local"].shape == (dp, 256)
+    # cap must have covered every shard's uniques for exact parity
+    np.testing.assert_array_equal(local["q_wgt"], batch["q_wgt"])
+    np.testing.assert_array_equal(local["d_wgt"], batch["d_wgt"])
+
+    from contextlib import nullcontext
+
+    from dssm_tpu.kernels.pallas_gather import force_interpret
+
+    interp = force_interpret() if impl == "pallas" else nullcontext()
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    state = create_sharded_state(cfg, mesh, mb.init_params(cfg.tower, seed=0))
+    sbatch = shard_batch(local, mesh)
+    losses = []
+    with interp, mesh:
+        step = make_parallel_train_step(cfg, mesh, impl=impl)
+        for _ in range(2):
+            state, aux = step(state, sbatch)
+            losses.append(float(aux["loss"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5, atol=1e-5)
+    got = np.asarray(state.params["shared"]["W0"])
+    want = np.asarray(ref_state.params["shared"]["W0"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
