@@ -595,13 +595,17 @@ def main():
             eval_corpora.append((big_hashed, len(big_hashed)))
         for ehashed, n_eval in eval_corpora:
             ebatch = 256 if n_eval <= 8192 else 1024
-            for _ in range(2):  # second pass timed (first includes compile)
+            t_eval = t_embed = float("inf")
+            for _ in range(3):  # first pass compiles; best-of-2 after (the
+                # relay tunnel's throughput swings 4x+ run to run, measured)
                 t0 = time.perf_counter()
                 q, d = embed_corpus(params, cfg, ehashed, ebatch, impl,
                                     device=True)
-                t_embed = time.perf_counter() - t0
+                te = time.perf_counter() - t0
                 ranks = compute_ranks(q, d)
-                t_eval = time.perf_counter() - t0
+                tt = time.perf_counter() - t0
+                if tt < t_eval:
+                    t_eval, t_embed = tt, te
             print(f"# eval embed+rank (impl={impl}, corpus={n_eval}, "
                   f"batch={ebatch}, on-device): "
                   f"{n_eval / t_eval:,.0f} pairs/s "
@@ -614,9 +618,11 @@ def main():
                 from dssm_tpu.serve.retrieval import top_k
 
                 top_k(q, d, k=10)  # compile
-                t0 = time.perf_counter()
-                top_k(q, d, k=10)
-                t_serve = time.perf_counter() - t0
+                t_serve = float("inf")
+                for _ in range(2):  # best-of-2 (relay tunnel variance)
+                    t0 = time.perf_counter()
+                    top_k(q, d, k=10)
+                    t_serve = min(t_serve, time.perf_counter() - t0)
                 print(f"# serving top-k (brute force, {n_eval} queries x "
                       f"{n_eval} docs, k=10, one dispatch): "
                       f"{n_eval*n_eval/t_serve:.2e} query*doc scores/s "
