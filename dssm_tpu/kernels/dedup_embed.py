@@ -394,9 +394,20 @@ def dequant_compact(compact: jax.Array, scale: jax.Array,
                     uniq_groups: jax.Array, group: int) -> jax.Array:
     """int8 compact rows -> f32 against the [V, 1] per-row scale param
     (sentinel/overflow rows take scale 0 -> exact zero rows)."""
-    rows = expand_group_rows(uniq_groups, group)
-    sc = jnp.take(scale, rows, axis=0, mode="fill", fill_value=0)
+    sc = gather_scale_rows(scale, uniq_groups, group)
     return compact.astype(jnp.float32) * sc
+
+
+def gather_scale_rows(scale: jax.Array, uniq_groups: jax.Array,
+                      group: int) -> jax.Array:
+    """Per-row scales for the compact block, gathered at GROUP granularity:
+    XLA's row-gather engine costs ~per-row, so fetching [G] group rows of a
+    [V/group, group] view is ~group x cheaper than [G*group] single rows
+    (measured ~0.2 ms at multihost caps). Returns [G*group, 1] f32."""
+    v = scale.shape[0]
+    sg = scale.reshape(v // group, group)
+    sc = jnp.take(sg, uniq_groups, axis=0, mode="fill", fill_value=0)
+    return sc.reshape(-1, 1)
 
 
 def dedup_embedding_bag(

@@ -350,6 +350,124 @@ def scatter_sr_row_groups(
     )(gids, seed_arr, allv, nonev, vals, table)
 
 
+def _scatter_sr_int8_kernel(tg, group, num_groups, gid_ref, seed_ref,
+                            allv_ref, nonev_ref, vals_ref, table_in_ref,
+                            table_out_ref, scratch, read_sems, write_sems):
+    """int8-grid RMW scatter: new_q = clip(floor(old_q + vals + u)) with
+    u ~ U[0,1) — unbiased stochastic rounding onto the row's int8 grid.
+    `vals` arrive PRE-SCALED to grid units (vals_f32 / row_scale, zero for
+    scale-0 rows), so the kernel needs no per-row scale input and mirrors
+    the bf16 SR kernel exactly."""
+    i = pl.program_id(0)
+    base = i * tg
+    pltpu.prng_seed(seed_ref[0], i)
+
+    def rdma(r):
+        return pltpu.make_async_copy(
+            table_out_ref.at[pl.ds(gid_ref[base + r] * group, group)],
+            scratch.at[pl.ds(r * group, group)],
+            read_sems.at[r],
+        )
+
+    def wdma(r):
+        return pltpu.make_async_copy(
+            scratch.at[pl.ds(r * group, group)],
+            table_out_ref.at[pl.ds(gid_ref[base + r] * group, group)],
+            write_sems.at[r],
+        )
+
+    def rmw(when_valid):
+        for r in range(tg):
+            when_valid(r, rdma(r).start)
+        for r in range(tg):
+            when_valid(r, rdma(r).wait)
+        acc = scratch[:].astype(jnp.float32) + vals_ref[:]
+        bits = pltpu.bitcast(pltpu.prng_random_bits(acc.shape), jnp.uint32)
+        # Mosaic lacks uint32->f32; the >>8 top bits fit int32 exactly.
+        u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (
+            2.0 ** -24)
+        scratch[:] = jnp.clip(jnp.floor(acc + u), -127.0,
+                              127.0).astype(jnp.int8)
+        for r in range(tg):
+            when_valid(r, wdma(r).start)
+        for r in range(tg):
+            when_valid(r, wdma(r).wait)
+
+    @pl.when(allv_ref[i] == 1)
+    def _():
+        rmw(lambda r, op: op())
+
+    @pl.when(jnp.logical_and(allv_ref[i] == 0, nonev_ref[i] == 0))
+    def _():
+        def when_valid(r, op):
+            @pl.when(gid_ref[base + r] < num_groups)
+            def _():
+                op()
+
+        rmw(when_valid)
+
+
+def scatter_sr_int8_row_groups(
+    table: jax.Array,
+    gids: jax.Array,
+    vals_grid: jax.Array,
+    group: int,
+    seed: jax.Array,
+    *,
+    interpret: bool = False,
+    groups_per_step: int = _GROUPS_PER_STEP,
+) -> jax.Array:
+    """int8-table RMW scatter with stochastic rounding onto the grid.
+
+    vals_grid: f32 [G*group, H] add-values ALREADY divided by each row's
+    scale (zeroed where scale is 0); semantics match
+    kernels/stochastic.sr_quant_rows_int8 (different PRNG stream). gids >=
+    V // group are skipped (dedupe-padding sentinel).
+    """
+    g = gids.shape[0]
+    v, h = table.shape
+    if v % group:
+        raise ValueError(f"vocab {v} not divisible by group {group}")
+    if jnp.dtype(table.dtype) != jnp.int8:
+        raise ValueError(f"int8 scatter needs an int8 table, got "
+                         f"{table.dtype}")
+    tg = min(groups_per_step, g)
+    if g % tg:
+        raise ValueError(f"G={g} not divisible by groups_per_step={tg}")
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape((1,))
+    interpret = interpret or _FORCE_INTERPRET
+    allv, nonev = _step_flags(gids, v // group, tg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(g // tg,),
+        in_specs=[
+            pl.BlockSpec((tg * group, h), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),  # vals block (f32, grid)
+            pl.BlockSpec(memory_space=pl.ANY),  # table (aliased to output)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((tg * group, h), table.dtype),
+            pltpu.SemaphoreType.DMA((tg,)),
+            pltpu.SemaphoreType.DMA((tg,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_scatter_sr_int8_kernel, tg, group, v // group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((v, h), table.dtype),
+        # operand 5 = table (gids, seed, allv, nonev, vals, table)
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=g * group * h,
+            bytes_accessed=(2 * g * group * h + g * group * h * 4),
+            transcendentals=0,
+        ),
+    )(gids, seed_arr, allv, nonev, vals_grid, table)
+
+
 def scatter_add_row_groups(
     table: jax.Array,
     gids: jax.Array,

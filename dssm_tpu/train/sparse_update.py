@@ -208,12 +208,25 @@ def make_sparse_train_step_body(
         )
 
         group = sublane_group(table.dtype)
+        use_pallas = (impl in ("pallas", "auto")
+                      and jax.devices()[0].platform == "tpu")
         if jnp.dtype(table.dtype) == jnp.int8:
+            from dssm_tpu.kernels.dedup_embed import gather_scale_rows
+
+            sc = gather_scale_rows(scale, uniq, group)
+            if use_pallas:
+                from dssm_tpu.kernels.pallas_gather import (
+                    scatter_sr_int8_row_groups)
+
+                vals_grid = jnp.where(
+                    sc > 0,
+                    vals.astype(jnp.float32) / jnp.maximum(sc, 1e-30), 0.0)
+                return scatter_sr_int8_row_groups(table, uniq, vals_grid,
+                                                  group, seed)
             from dssm_tpu.kernels.stochastic import sr_quant_rows_int8
 
             rows = expand_group_rows(uniq, group)
             old = jnp.take(table, rows, axis=0, mode="fill", fill_value=0)
-            sc = jnp.take(scale, rows, axis=0, mode="fill", fill_value=0)
             newq = sr_quant_rows_int8(old, sc, vals.astype(jnp.float32),
                                       seed)
             return table.at[rows].set(newq, mode="drop")

@@ -268,3 +268,28 @@ def test_pallas_sr_scatter_interpret():
     for gid in np.asarray(gids):
         expected[gid * group:(gid + 1) * group] = 1.25
     np.testing.assert_array_equal(out, expected)
+
+
+def test_pallas_sr_int8_scatter_interpret():
+    # Interpret-mode check of the int8-grid Pallas SR scatter (skipped if
+    # the interpreter lacks TPU PRNG). Integer-valued grid updates round
+    # exactly (u < 1 cannot carry past an integer), so the result is
+    # deterministic despite the stochastic path.
+    from dssm_tpu.kernels.pallas_gather import scatter_sr_int8_row_groups
+
+    group = 32
+    v, h = 16 * group, 128
+    table = jnp.full((v, h), 3, jnp.int8)
+    gids = jnp.asarray([1, 5, 9, 2, 0, 15, 7, 11], jnp.int32)
+    vals_grid = jnp.full((gids.shape[0] * group, h), 2.0, jnp.float32)
+    try:
+        out = scatter_sr_int8_row_groups(table, gids, vals_grid, group,
+                                         jnp.int32(0), interpret=True,
+                                         groups_per_step=8)
+    except Exception as e:  # pragma: no cover - interpreter capability
+        pytest.skip(f"interpret-mode TPU PRNG unsupported: {e}")
+    out = np.asarray(out, np.int32)
+    expected = np.full((v, h), 3, np.int32)
+    for gid in np.asarray(gids):
+        expected[gid * group:(gid + 1) * group] = 5
+    np.testing.assert_array_equal(out, expected)
