@@ -24,7 +24,8 @@ def _free_port() -> int:
 
 
 def _run_workers(num_procs: int, dev_per_proc: int, tmpdir, steps=STEPS,
-                 mp=1, spc=1, workdir="", resume=False) -> list:
+                 mp=1, spc=1, workdir="", resume=False,
+                 localsel=False) -> list:
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -41,6 +42,8 @@ def _run_workers(num_procs: int, dev_per_proc: int, tmpdir, steps=STEPS,
             args += [str(mp), str(spc), workdir]
             if resume:
                 args.append("resume")
+        if localsel:
+            args.append("localsel")
         procs.append(subprocess.Popen(
             args, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         ))
@@ -96,3 +99,21 @@ def test_two_process_matches_single_process(tmp_path):
                                rtol=1e-5, atol=1e-6)
     # And training is actually progressing
     assert multi[0]["losses"][-1] < multi[0]["losses"][0]
+
+
+def test_local_sel_multiprocess_parity(tmp_path):
+    """Per-data-shard slot spaces (sel_local) through the REAL multi-process
+    assembly (dist.make_global_batch ships each host's [shards_local, cap]
+    rows into the global P(data) array): 2 procs x 2 devices must match
+    1 proc x 4 devices exactly — same shard boundaries, same slot spaces."""
+    multi = _run_workers(2, 2, str(tmp_path), steps=6, localsel=True)
+    np.testing.assert_allclose(multi[0]["losses"], multi[1]["losses"],
+                               rtol=1e-6)
+    (tmp_path / "single").mkdir()
+    single = _run_workers(1, 4, str(tmp_path / "single"), steps=6,
+                          localsel=True)
+    np.testing.assert_allclose(multi[0]["losses"], single[0]["losses"],
+                               rtol=1e-5, atol=1e-6)
+    # Trajectories at batch 32 are noisy; parity (above) is the point.
+    # Bit-identical to the plain joint path was verified separately.
+    assert all(np.isfinite(multi[0]["losses"]))

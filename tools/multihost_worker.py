@@ -18,13 +18,19 @@ import sys
 
 
 def main():
-    coordinator, num_procs, proc_id, dev_per_proc, steps, out_path = sys.argv[1:7]
+    # "localsel" (anywhere after the positionals) enables the union dedupe +
+    # per-data-shard slot spaces (loader.reslot_local) — the multihost
+    # count-width optimization — through the REAL multi-process
+    # make_global_batch assembly.
+    argv = [a for a in sys.argv if a != "localsel"]
+    localsel = len(argv) != len(sys.argv)
+    coordinator, num_procs, proc_id, dev_per_proc, steps, out_path = argv[1:7]
     num_procs, proc_id = int(num_procs), int(proc_id)
     dev_per_proc, steps = int(dev_per_proc), int(steps)
-    mp = int(sys.argv[7]) if len(sys.argv) > 7 else 1
-    spc = int(sys.argv[8]) if len(sys.argv) > 8 else 1
-    workdir = sys.argv[9] if len(sys.argv) > 9 else ""
-    resume = len(sys.argv) > 10 and sys.argv[10] == "resume"
+    mp = int(argv[7]) if len(argv) > 7 else 1
+    spc = int(argv[8]) if len(argv) > 8 else 1
+    workdir = argv[9] if len(argv) > 9 else ""
+    resume = len(argv) > 10 and argv[10] == "resume"
 
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -71,6 +77,9 @@ def main():
         hashed, cfg.train.batch_size, seed=5,
         process_index=proc_id, process_count=num_procs,
         dedup_unique=cfg.data.max_unique,
+        dedup_joint=localsel,
+        local_sel_cap=256 if localsel else 0,
+        local_sel_shards=max(1, dev_per_proc // mp),
     )
     mesh = make_mesh(cfg.mesh)
     params = model_base.init_params(cfg.tower, seed=0)
