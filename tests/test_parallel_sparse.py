@@ -373,3 +373,44 @@ def test_parallel_sparse_local_sel_matches_single_device(dp, mp, impl):
     got = np.asarray(state.params["shared"]["W0"])
     want = np.asarray(ref_state.params["shared"]["W0"])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_parallel_multi_step_with_local_sel():
+    """K-steps-per-dispatch scan over batches carrying per-shard sel_local
+    ([K, dp, cap] stacked, P(None, data, None)) equals K single steps."""
+    from dssm_tpu.parallel.train_step import make_parallel_multi_step
+    from dssm_tpu.train.loop import stack_batches
+
+    dp, K = 8, 3
+    cfg = _cfg(dp, 1).replace(train=_cfg(dp, 1).train.replace(
+        steps_per_call=K))
+    batches = []
+    pairs = toy.make_toy_pairs(B * K, vocab_words=64, seed=17)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    for j in range(K):
+        b = loader.select_batch(
+            hashed, np.arange(j * B, (j + 1) * B), False,
+            dedup_unique=cfg.data.max_unique,
+            dedup_unique_rows=cfg.data.max_unique_rows, dedup_joint=True)
+        batches.append(loader.reslot_local(b, cap=256, shards=dp))
+
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    ref_state = create_sharded_state(cfg, mesh,
+                                     mb.init_params(cfg.tower, seed=0))
+    ref_losses = []
+    with mesh:
+        step = make_parallel_train_step(cfg, mesh, impl="xla")
+        for b in batches:
+            ref_state, aux = step(ref_state, shard_batch(b, mesh))
+            ref_losses.append(float(aux["loss"]))
+
+    state = create_sharded_state(cfg, mesh, mb.init_params(cfg.tower, seed=0))
+    stacked = stack_batches(iter(batches))
+    with mesh:
+        multi = make_parallel_multi_step(cfg, mesh, impl="xla")
+        state, auxes = multi(state, shard_batch(stacked, mesh, stacked=True))
+    np.testing.assert_allclose(np.asarray(auxes["loss"], np.float64),
+                               ref_losses, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.params["shared"]["W0"]),
+        np.asarray(ref_state.params["shared"]["W0"]), rtol=1e-4, atol=1e-6)
