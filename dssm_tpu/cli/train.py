@@ -174,9 +174,14 @@ def main(argv: Optional[List[str]] = None) -> None:
                    and cfg.loss.mode != "rotate"),
         pipeline_workers=cfg.data.pipeline_workers,
         # Third dedupe level: one slot space per LOCAL data shard (this
-        # host's devices on the mesh data axis).
+        # host's devices on the mesh data axis). Only sound when each host
+        # owns whole data-axis coordinates (local devices divisible by mp);
+        # with mp spanning hosts the per-host shard count is ill-defined, so
+        # fall back to the global sel.
         local_sel_cap=(cfg.data.max_unique_rows_local
-                       if dedup and cfg.tower.shared_weights else 0),
+                       if dedup and cfg.tower.shared_weights
+                       and jax.local_device_count()
+                       % cfg.mesh.model_parallel == 0 else 0),
         local_sel_shards=max(1, jax.local_device_count()
                              // cfg.mesh.model_parallel),
     )
