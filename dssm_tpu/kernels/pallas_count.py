@@ -424,6 +424,217 @@ def _joint_bwd_call(row_sel2d, cnt_q, cnt_d, gq, gd, gr, h, compute_dtype,
     )(cnt_q, cnt_d, row_sel2d, gq, gd)
 
 
+def _fused_gather_joint_kernel(kq, kd, group, num_groups, dma_block,
+                               compute_dtype, uniq_ref, allv_ref, nonev_ref,
+                               kqmax_ref, kdmax_ref, qinv_ref, qwgt_ref,
+                               dinv_ref, dwgt_ref, rowsel_ref, table_ref,
+                               qout_ref, dout_ref, cq_ref, cd_ref,
+                               compact_ref, c2_sc, sems):
+    """Gather + select + both count builds + both matmuls in ONE kernel.
+
+    Program 0 issues every group's table->compact DMA (sentinel BLOCK-skip,
+    same flag machinery as pallas_gather), builds tile 0's count matrices
+    WHILE the DMAs fly, waits, then builds compact2 once; later programs
+    only count + matmul. The gather's DMA shadow is fully hidden under the
+    count build and the compact never round-trips HBM before the select.
+    Sentinel slots' compact rows are zeroed (matching the XLA gather
+    fallback's fill semantics; garbage there would poison the one-hot
+    select)."""
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    g_slots = uniq_ref.shape[0]
+
+    def dma(slot):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(uniq_ref[slot] * group, group)],
+            compact_ref.at[pl.ds(slot * group, group)],
+            sems.at[slot],
+        )
+
+    def for_valid(op):
+        for b in range(g_slots // dma_block):
+            @pl.when(allv_ref[b] == 1)
+            def _():
+                for r in range(dma_block):
+                    op(b * dma_block + r)
+
+            @pl.when(jnp.logical_and(allv_ref[b] == 0, nonev_ref[b] == 0))
+            def _():
+                for r in range(dma_block):
+                    slot = b * dma_block + r
+
+                    @pl.when(uniq_ref[slot] < num_groups)
+                    def _():
+                        op(slot)
+
+    @pl.when(i == 0)
+    def _():
+        # Zero first: sentinel slots' rows are never DMA'd, and garbage
+        # there (a donated buffer can hold NaNs) would poison the one-hot
+        # select (0 * NaN = NaN). One 3 MB vector store, ~4 us.
+        compact_ref[:] = jnp.zeros_like(compact_ref)
+        for_valid(lambda s: dma(s).start())
+
+    # Count builds overlap the DMA shadow on program 0 (they read only
+    # inv/wgt); the count residuals live in their own out blocks.
+    _count_tile(kqmax_ref[i], kq, qinv_ref, qwgt_ref, cq_ref)
+    _count_tile(kdmax_ref[i], kd, dinv_ref, dwgt_ref, cd_ref)
+
+    @pl.when(i == 0)
+    def _():
+        for_valid(lambda s: dma(s).wait())
+        c2_sc[:] = _select_compact2(rowsel_ref, compact_ref, compute_dtype)
+
+    qout_ref[:] = jnp.dot(cq_ref[:].astype(compute_dtype), c2_sc[:],
+                          preferred_element_type=jnp.float32)
+    dout_ref[:] = jnp.dot(cd_ref[:].astype(compute_dtype), c2_sc[:],
+                          preferred_element_type=jnp.float32)
+
+
+def fused_gather_joint_lookup(
+    table: jax.Array,
+    uniq_groups: jax.Array,
+    row_sel: jax.Array,
+    q_inv: jax.Array,
+    q_wgt: jax.Array,
+    d_inv: jax.Array,
+    d_wgt: jax.Array,
+    group: int,
+    *,
+    interpret: bool = False,
+):
+    """One kernel for the whole lookup front half:
+
+        compact = table[group rows of uniq]        (sentinel-skip DMA)
+        compact2 = compact[row_sel]                (in-kernel select)
+        {q,d}_out = count(inv, wgt) @ compact2     (MXU)
+
+    Returns (q_out, d_out, cnt_q, cnt_d, compact) or None when shapes
+    don't meet the tiling/VMEM constraints. NOT differentiable — callers
+    compute d_compact explicitly via joint_lookup_bwd from the count
+    residuals (the differentiation boundary sits at the lookup outputs).
+
+    MEASURED NEGATIVE RESULT (kept for the record + as a building block):
+    on the flagship step this fused variant is ~20 us SLOWER than the
+    split gather-kernel + joint-lookup-kernel path (A/B on v5e:
+    0.407/0.395 vs 0.377/0.388 ms/step) — the per-slot scalar-unit DMA
+    issue inside one program costs more than the kernel launch + compact
+    HBM round trip it saves. The production step uses the split path."""
+    from dssm_tpu.kernels.pallas_gather import _step_flags, interpret_forced
+
+    interpret = interpret or interpret_forced()
+    if q_inv.shape[:-1] != d_inv.shape[:-1]:
+        return None
+    rows = 1
+    for s in q_inv.shape[:-1]:
+        rows *= s
+    kq, kd = q_inv.shape[-1], d_inv.shape[-1]
+    v, h = table.shape
+    g_slots = uniq_groups.shape[0]
+    gr = g_slots * group
+    u2 = row_sel.shape[0]
+    tr = min(_ROW_TILE, rows)
+    dma_block = 32
+    if not (rows % tr == 0 and tr % 8 == 0 and u2 % 128 == 0
+            and h % 128 == 0 and gr % 128 == 0 and v % group == 0
+            and g_slots % dma_block == 0):
+        return None
+    csize = table.dtype.itemsize
+    # VMEM: compact out block + compact2 + 2 cnt out tiles + select temp +
+    # in/out tiles, ~25% headroom under 16 MB.
+    need = (gr * h * csize + u2 * h * csize + 2 * tr * u2 * 4
+            + u2 * _SEL_CHUNK * 4 + u2 * h * 4 + 2 * tr * h * 4)
+    if need >= 12 * 1024 * 1024:
+        return None
+    qi = q_inv.reshape(rows, kq).astype(jnp.int32)
+    qw = q_wgt.reshape(rows, kq).astype(jnp.float32)
+    di = d_inv.reshape(rows, kd).astype(jnp.int32)
+    dw = d_wgt.reshape(rows, kd).astype(jnp.float32)
+    row_sel2d = row_sel.reshape(u2, 1).astype(jnp.int32)
+    allv, nonev = _step_flags(uniq_groups, v // group, dma_block)
+    kernel = functools.partial(_fused_gather_joint_kernel, kq, kd, group,
+                               v // group, dma_block, table.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((tr, kq), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, kq), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, kd), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, kd), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u2, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, h), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, u2), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, u2), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gr, h), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),  # compact (persists)
+        ],
+        scratch_shapes=[pltpu.VMEM((u2, h), table.dtype),
+                        pltpu.SemaphoreType.DMA((g_slots,))],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((rows, h), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, h), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, u2), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, u2), jnp.float32),
+                   jax.ShapeDtypeStruct((gr, h), table.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * u2 * (kq + kd + 2 * h) + 2 * u2 * gr * h,
+            bytes_accessed=(rows * (kq + kd) * 8 + gr * h * csize
+                            + 2 * rows * h * 4 + 2 * rows * u2 * 4),
+            transcendentals=0,
+        ),
+    )(uniq_groups.astype(jnp.int32), allv, nonev,
+      _tile_kmax(qw, tr), _tile_kmax(dw, tr),
+      qi, qw, di, dw, row_sel2d, table)
+    qo, do, cnt_q, cnt_d, compact = outs
+    return (qo.reshape(*q_inv.shape[:-1], h),
+            do.reshape(*d_inv.shape[:-1], h), cnt_q, cnt_d, compact)
+
+
+def joint_lookup_bwd(
+    row_sel: jax.Array,
+    cnt_q: jax.Array,
+    cnt_d: jax.Array,
+    g_q: jax.Array,
+    g_d: jax.Array,
+    gr: int,
+    h: int,
+    compute_dtype,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Explicit d_compact from the saved count residuals (the backward of
+    fused_gather_joint_lookup, called directly by the train step — the
+    fused op itself is not autodiff-differentiable)."""
+    from dssm_tpu.kernels.pallas_gather import interpret_forced
+
+    interpret = interpret or interpret_forced()
+    u2 = row_sel.shape[0]
+    rows = cnt_q.shape[0]
+    return _joint_bwd_call(row_sel.reshape(u2, 1).astype(jnp.int32),
+                           cnt_q, cnt_d,
+                           g_q.reshape(rows, h), g_d.reshape(rows, h),
+                           gr, h, jnp.dtype(compute_dtype), interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _joint_lookup_op(compact, row_sel2d, q_inv, q_wgt, d_inv, d_wgt,
                      interpret, dtype_name):

@@ -270,6 +270,13 @@ def make_sparse_train_step_body(
             table = params["shared"][table_key]
             scale = params["shared"].get(f"{table_key}_scale")
             group = sublane_group(table.dtype)
+            # NOTE: a fully fused gather+select+count kernel exists
+            # (kernels/pallas_count.fused_gather_joint_lookup, parity
+            # -tested) but measured consistently ~20 us SLOWER than this
+            # two-kernel split on the chip (A/B 0.377/0.388 vs 0.407/0.395
+            # ms/step): the serialized in-kernel per-slot DMA issue costs
+            # more than the saved kernel launch + compact HBM round trip.
+            # Keeping the split path.
             c = gather_compact(table, batch["uniq"], group, impl=impl)
             if scale is not None:
                 c = dequant_compact(c, scale, batch["uniq"], group)

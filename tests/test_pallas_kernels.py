@@ -430,3 +430,113 @@ def test_count_lookup_u2_blocked_matches_xla():
         compact2)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_fused_gather_joint_lookup_matches_reference():
+    """The fully fused gather+select+count kernel (one dispatch for the
+    lookup front half) vs gather_compact + the select/count reference;
+    explicit joint_lookup_bwd vs autodiff through the reference."""
+    from dssm_tpu.kernels.dedup_embed import (
+        SKIP_SENTINEL_GID, gather_compact)
+    from dssm_tpu.kernels.pallas_count import (
+        fused_gather_joint_lookup, joint_lookup_bwd)
+    from dssm_tpu.kernels.pallas_gather import force_interpret
+
+    rng = np.random.default_rng(14)
+    v, h, group = 4096, 128, 8
+    g_slots, u2, rows, kq, kd = 64, 128, 256, 8, 16
+    table = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    gids = np.sort(rng.choice(v // group, size=40, replace=False))
+    uniq = np.full((g_slots,), SKIP_SENTINEL_GID, np.int32)
+    uniq[:40] = gids
+    gr = g_slots * group
+    sel = np.zeros((u2,), np.int32)
+    sel[:100] = np.sort(rng.choice(40 * group, size=100, replace=False))
+    q_inv = jnp.asarray(rng.integers(0, u2, (rows, kq)).astype(np.int32))
+    q_wgt = jnp.asarray(rng.uniform(0, 2, (rows, kq)).astype(np.float32))
+    d_inv = jnp.asarray(rng.integers(0, u2, (rows, kd)).astype(np.int32))
+    d_wgt = jnp.asarray(rng.uniform(0, 2, (rows, kd)).astype(np.float32))
+    uniq, sel = jnp.asarray(uniq), jnp.asarray(sel)
+
+    with force_interpret():
+        out = fused_gather_joint_lookup(table, uniq, sel, q_inv, q_wgt,
+                                        d_inv, d_wgt, group)
+    assert out is not None
+    qo, do, cnt_q, cnt_d, compact = out
+
+    c_ref = gather_compact(table, uniq, group, impl="xla")
+    q_ref, d_ref = _joint_ref(c_ref, sel, q_inv, q_wgt, d_inv, d_wgt)
+    np.testing.assert_allclose(np.asarray(qo), np.asarray(q_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(do), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-5)
+    # Compact parity on REAL rows only (sentinel rows are unwritten by
+    # contract — nothing downstream reads them).
+    real = 40 * group
+    np.testing.assert_allclose(np.asarray(compact)[:real],
+                               np.asarray(c_ref)[:real], rtol=1e-6)
+
+    # Explicit bwd from residuals == autodiff through the reference.
+    gq = jnp.asarray(rng.normal(size=(rows, h)).astype(np.float32))
+    gd = jnp.asarray(rng.normal(size=(rows, h)).astype(np.float32))
+
+    def ref_loss(c):
+        q2, d2 = _joint_ref(c, sel, q_inv, q_wgt, d_inv, d_wgt)
+        return (q2 * gq).sum() + (d2 * gd).sum()
+
+    g_ref = jax.grad(ref_loss)(c_ref)
+    with force_interpret():
+        g_c = joint_lookup_bwd(sel, cnt_q, cnt_d, gq, gd, gr, h,
+                               jnp.float32)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gather_joint_step_matches_xla():
+    """Single-device sparse train step, impl="pallas" (interpret mode) vs
+    the XLA path: loss and updated table parity over 2 steps. (The fully
+    fused gather variant measured slower on chip and is not wired into the
+    step — this certifies the shipping split-kernel path, which no other
+    test drove single-device with impl="pallas".)"""
+    from dssm_tpu.config import (
+        DataConfig, LossConfig, RunConfig, TowerConfig, TrainConfig,
+    )
+    from dssm_tpu.data import loader, toy
+    from dssm_tpu.kernels.pallas_gather import force_interpret
+    from dssm_tpu.models import base as mb
+    from dssm_tpu.train.loop import make_train_step
+    from dssm_tpu.train.state import create_state
+
+    cfg = RunConfig(
+        tower=TowerConfig(vocab_size=4096, embed_width=32, hidden_dims=(24,),
+                          semantic_dim=16),
+        data=DataConfig(max_trigrams=32, max_unique=2048,
+                        max_unique_rows=512),
+        loss=LossConfig(mode="in_batch"),
+        train=TrainConfig(batch_size=64, learning_rate=0.1,
+                          use_pallas=False),
+    )
+    pairs = toy.make_toy_pairs(64, vocab_words=64, seed=13)
+    hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+    batch = loader.select_batch(
+        hashed, np.arange(64), False, dedup_unique=cfg.data.max_unique,
+        dedup_unique_rows=cfg.data.max_unique_rows, dedup_joint=True)
+
+    ref_state = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    ref_step = make_train_step(cfg, impl="xla")
+    losses_ref = []
+    for _ in range(2):
+        ref_state, aux = ref_step(ref_state, batch)
+        losses_ref.append(float(aux["loss"]))
+
+    state = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
+    losses = []
+    with force_interpret():
+        step = make_train_step(cfg, impl="pallas")
+        for _ in range(2):
+            state, aux = step(state, batch)
+            losses.append(float(aux["loss"]))
+    np.testing.assert_allclose(losses, losses_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state.params["shared"]["W0"]),
+        np.asarray(ref_state.params["shared"]["W0"]), rtol=1e-4, atol=1e-6)
