@@ -268,7 +268,8 @@ def _preset_cnn() -> RunConfig:
     return RunConfig(
         name="cnn",
         tower=TowerConfig(arch="cnn", vocab_size=30_000, embed_width=300,
-                          conv_window=3, conv_channels=300, semantic_dim=128),
+                          conv_window=3, conv_channels=300, semantic_dim=128,
+                          compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=256),
     )
 
@@ -281,7 +282,8 @@ def _preset_lstm() -> RunConfig:
     return RunConfig(
         name="lstm",
         tower=TowerConfig(arch="lstm", vocab_size=30_000, embed_width=300,
-                          lstm_hidden=300, semantic_dim=128),
+                          lstm_hidden=300, semantic_dim=128,
+                          compute_dtype="bfloat16"),
         train=TrainConfig(batch_size=256),
     )
 
