@@ -46,7 +46,7 @@ def _u2_block(u2: int, h: int, tr: int, csize: int, extra_f32_uh: int = 0
     while u2b >= 128:
         need = (tr * u2b * 4 + u2b * h * csize + extra_f32_uh * u2b * h * 4
                 + 2 * tr * h * 4 + 4 * tr * 64 * 8)
-        if need < 12 * 1024 * 1024 and u2 % u2b == 0:
+        if need < 12 * 1024 * 1024 and u2 % u2b == 0 and u2b % 128 == 0:
             return u2b
         u2b //= 2
     return None

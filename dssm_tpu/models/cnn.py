@@ -57,7 +57,8 @@ def table_lookup(
     """Per-word window-blocked projection: [B, T, Kw] -> [B, T, window*C]."""
     from dssm_tpu.models.base import bag_lookup
 
-    return bag_lookup(params["Wc"], cfg, batch, prefix, impl=impl)
+    return bag_lookup(params["Wc"], cfg, batch, prefix, impl=impl,
+                      scale=params.get("Wc_scale"))
 
 
 def tower_from_lookup(

@@ -57,7 +57,8 @@ def table_lookup(
     """Per-word trigram projection: [B, T, Kw] -> [B, T, embed_width]."""
     from dssm_tpu.models.base import bag_lookup
 
-    return bag_lookup(params["Win"], cfg, batch, prefix, impl=impl)
+    return bag_lookup(params["Win"], cfg, batch, prefix, impl=impl,
+                      scale=params.get("Win_scale"))
 
 
 def tower_from_lookup(

@@ -158,6 +158,9 @@ def top_k(
     jnp.asarray is a no-op for them). One device dispatch for all chunks."""
     q = jnp.asarray(query_emb, dtype=jnp.float32)
     k = min(k, doc_emb.shape[0])
+    if q.shape[0] == 0:  # empty query set: scan chunking would divide by 0
+        return (np.zeros((0, k), dtype=np.float32),
+                np.zeros((0, k), dtype=np.int64))
     d_dev = jnp.asarray(doc_emb, dtype=jnp.float32)
     ss, ii = _topk_all(q, d_dev, k, min(chunk, q.shape[0]))
     return np.asarray(ss), np.asarray(ii).astype(np.int64)

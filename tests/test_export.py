@@ -64,6 +64,15 @@ def test_retrieval_recalls_clicked_titles(trained):
     assert np.all(np.diff(scores, axis=1) <= 1e-6)
 
 
+def test_top_k_empty_query_set():
+    """ADVICE r4: zero queries must return empty [0, k] arrays, not divide
+    by zero inside the scan chunking."""
+    d = np.random.default_rng(0).normal(size=(16, 8)).astype(np.float32)
+    ss, ii = top_k(np.zeros((0, 8), np.float32), d, k=5)
+    assert ss.shape == (0, 5) and ii.shape == (0, 5)
+    assert ss.dtype == np.float32 and ii.dtype == np.int64
+
+
 def test_index_roundtrip(tmp_path, trained):
     cfg, state, pairs = trained
     titles = list(dict.fromkeys(pairs.titles))[:32]

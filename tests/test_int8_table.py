@@ -114,6 +114,59 @@ def test_int8_training_learns_and_tracks_f32():
     assert finals["int8"]["loss"] < finals[""]["loss"] * 1.5 + 0.5
 
 
+def test_int8_scale_applied_in_cnn_lstm_lookup():
+    """ADVICE r4 (medium): cnn/lstm table_lookup must dequantize against the
+    per-row scale — raw int8 codes as embeddings are silently wrong. The
+    int8 embed must equal running the same tower on a f32 table holding
+    exactly q*scale."""
+    for arch in ("cnn", "lstm"):
+        cfg = validate(RunConfig(
+            tower=TowerConfig(arch=arch, vocab_size=4096, embed_width=128,
+                              conv_window=3, conv_channels=24, lstm_hidden=16,
+                              semantic_dim=16, table_dtype="int8"),
+            data=DataConfig(max_trigrams=32, max_words=8,
+                            max_trigrams_per_word=6,
+                            max_unique=1024, max_unique_rows=256),
+            loss=LossConfig(mode="in_batch"),
+            train=TrainConfig(batch_size=16, use_pallas=False),
+        ))
+        params = mb.init_params(cfg.tower, seed=0)
+        key = mb.TABLE_KEY[arch]
+        q8 = params["shared"][key]
+        scale = params["shared"][f"{key}_scale"]
+        f32p = {"shared": dict(params["shared"])}
+        del f32p["shared"][f"{key}_scale"]
+        f32p["shared"][key] = q8.astype(jnp.float32) * scale
+
+        pairs = toy.make_toy_pairs(64, vocab_words=32, seed=3)
+        hashed = loader.hash_pairs(pairs, cfg.tower, cfg.data)
+        rows = np.arange(16)
+        batch8 = loader.select_batch(hashed, rows, True,
+                                     cfg.data.max_unique, 32,
+                                     cfg.data.max_unique_rows, True)
+        batchf = loader.select_batch(hashed, rows, True,
+                                     cfg.data.max_unique, 8,
+                                     cfg.data.max_unique_rows, True)
+        batch8 = {k: jnp.asarray(v) for k, v in batch8.items()}
+        batchf = {k: jnp.asarray(v) for k, v in batchf.items()}
+        e8 = mb.embed(params, cfg.tower, "q", batch8, impl="xla")
+        ef = mb.embed(f32p, cfg.tower.replace(table_dtype=""), "q", batchf,
+                      impl="xla")
+        np.testing.assert_allclose(np.asarray(e8), np.asarray(ef),
+                                   rtol=1e-5, atol=1e-6, err_msg=arch)
+
+
+def test_u2_block_lane_alignment():
+    """ADVICE r4: _u2_block must only return multiples of 128 — a
+    non-power-of-two u2 (e.g. 384) must not yield a 192 block."""
+    from dssm_tpu.kernels.pallas_count import _u2_block
+
+    for u2 in (384, 640, 1152):
+        for extra in (0, 1):
+            got = _u2_block(u2, 384, 256, 4, extra)
+            assert got is None or (got % 128 == 0 and u2 % got == 0), (u2, got)
+
+
 def test_int8_validate_requirements():
     import pytest
 
