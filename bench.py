@@ -600,17 +600,41 @@ def main():
                 # relay tunnel's throughput swings 4x+ run to run, measured)
                 t0 = time.perf_counter()
                 q, d = embed_corpus(params, cfg, ehashed, ebatch, impl,
-                                    device=True)
+                                    device=True, cache=False)
                 te = time.perf_counter() - t0
                 ranks = compute_ranks(q, d)
                 tt = time.perf_counter() - t0
                 if tt < t_eval:
                     t_eval, t_embed = tt, te
-            print(f"# eval embed+rank (impl={impl}, corpus={n_eval}, "
+            print(f"# eval embed+rank UNCACHED (impl={impl}, corpus={n_eval}, "
                   f"batch={ebatch}, on-device): "
                   f"{n_eval / t_eval:,.0f} pairs/s "
                   f"({t_eval*1e3:.0f} ms: embed+dedupe "
                   f"{t_embed*1e3:.0f} + rank {(t_eval-t_embed)*1e3:.0f})",
+                  file=sys.stderr)
+            # EvalCache (r5 item 1): the fixed corpus's host pipeline + H2D
+            # are paid once; steady-state eval (every eval_every during a
+            # run) reuses the device-resident blocks.
+            t0 = time.perf_counter()
+            q, d = embed_corpus(params, cfg, ehashed, ebatch, impl,
+                                device=True, cache=True)
+            ranks = compute_ranks(q, d)
+            t_build = time.perf_counter() - t0
+            t_eval_c = t_embed_c = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q, d = embed_corpus(params, cfg, ehashed, ebatch, impl,
+                                    device=True, cache=True)
+                te = time.perf_counter() - t0
+                ranks = compute_ranks(q, d)
+                tt = time.perf_counter() - t0
+                if tt < t_eval_c:
+                    t_eval_c, t_embed_c = tt, te
+            print(f"# eval embed+rank CACHED (impl={impl}, corpus={n_eval}, "
+                  f"batch={ebatch}, cache build {t_build*1e3:.0f} ms once): "
+                  f"{n_eval / t_eval_c:,.0f} pairs/s "
+                  f"({t_eval_c*1e3:.0f} ms: embed {t_embed_c*1e3:.0f} "
+                  f"+ rank {(t_eval_c-t_embed_c)*1e3:.0f})",
                   file=sys.stderr)
             if platform == "tpu" and n_eval >= 65536:
                 # Serving brute-force envelope (VERDICT r3 weak 6): one scan

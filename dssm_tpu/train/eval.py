@@ -86,38 +86,18 @@ def _embed_fwd_stacked(tower_cfg, impl: str, sides: str):
     return fwd
 
 
-def embed_corpus(
-    params,
-    cfg: RunConfig,
-    hashed: HashedPairs,
-    batch_size: int = 256,
-    impl: str = "xla",
-    *,
-    device: bool = False,
-):
-    """Forward-only embed of the whole eval corpus -> (Q [N, D], Dm [N, D]).
+def _host_blocks(cfg: RunConfig, hashed: HashedPairs, batch_size: int,
+                 group: int, k_block: int):
+    """Yield (stacked_numpy_block, live_rows) K-blocks through the full host
+    pipeline (slicing + two-level dedupe + wire compression + K-stacking).
 
-    Uses the dedup compact-gather lookup (the training fast path) whenever
-    the config enables it; tail batches are padded so every batch hits the
-    same compiled executable.
-
-    device=True keeps the embeddings ON DEVICE (returns jnp arrays) — the
-    eval path ranks on device anyway, and fetching [N, D] floats through the
-    axon relay costs ~170 ms per 4 MB (measured); only `evaluate`'s final
-    [N] rank vector should ever cross back.
-    """
+    Host-side batching (slicing + two-level dedupe, C++ data-plane) runs in
+    a worker pool + prefetch thread, overlapping device dispatches; the
+    compressed wire format cuts H2D bytes ~4x (both measured to dominate
+    eval wall-clock at a 65,536-pair corpus)."""
     dedup = cfg.data.dedup_lookup
     from dssm_tpu.data.loader import prefetch
-    from dssm_tpu.kernels.pallas_gather import sublane_group
 
-    table = params[next(iter(params))][model_base.TABLE_KEY[cfg.tower.arch]]
-    group = sublane_group(table.dtype)
-    n_total = len(hashed)
-
-    # Host-side batching (slicing + two-level dedupe, C++ data-plane) runs in
-    # a worker pool + prefetch thread, overlapping device dispatches; the
-    # compressed wire format cuts H2D bytes ~4x (both measured to dominate
-    # eval wall-clock at a 65,536-pair corpus).
     batches = prefetch(eval_batches(
         hashed, batch_size, cfg.tower.is_sequence_model,
         dedup_unique=cfg.data.max_unique if dedup else None,
@@ -128,17 +108,6 @@ def embed_corpus(
         pipeline_workers=max(2, cfg.data.pipeline_workers),
     ), depth=4)
 
-    # K batches per dispatch (lax.scan) + ONE stacked [K, B, D] fetch per
-    # block; the ragged tail block is padded to a full K x B so a second
-    # compiled shape serves every corpus size. Cap 64: at the full preset's
-    # 65,536-pair corpus that is 4 dispatches instead of 16 (each dispatch
-    # round-trip costs ~40 ms through the relay); the [64, B, D] stacked
-    # outputs are still only ~8 MB.
-    k_block = max(1, min(64, (n_total + batch_size - 1) // batch_size))
-    fwd_stacked = _embed_fwd_stacked(cfg.tower, impl, "qd")
-
-    qs, ds = [], []
-    pending = []
     done = False
     while not done:
         block, rows = [], 0
@@ -155,8 +124,136 @@ def embed_corpus(
             break
         while len(block) < k_block:  # tail: repeat last batch, slice off below
             block.append(block[-1])
-        stacked = {key: np.stack([b[key] for b in block])
-                   for key in block[0]}
+        yield {key: np.stack([b[key] for b in block])
+               for key in block[0]}, rows
+
+
+class EvalCache:
+    """Cache of the stacked eval blocks (VERDICT r5 item 1).
+
+    The eval corpus is FIXED for a run, yet every `evaluate` call used to
+    re-hash, re-dedupe, re-compress, and re-ship it — eval measured 37x
+    under the train contract metric at the 65k corpus (BENCH_r04), and the
+    host+H2D share was exactly the re-paid part. The FIRST eval fills the
+    cache streamingly (the host pipeline still overlaps device dispatches);
+    every later eval pays only the embed forward + rank.
+
+    With a single device (the real-chip case) blocks are pinned in HBM
+    (~20 MB for the 65k corpus in compressed wire), eliminating the
+    per-eval H2D too; with a multi-device mesh the host numpy stacks are
+    kept and jit places them against the sharded params as usual."""
+
+    def __init__(self, batch_size: int, k_block: int):
+        self.batch_size = batch_size
+        self.k_block = k_block
+        self.blocks: list = []  # [(stacked dict, live rows)]
+        self.complete = False
+        self.on_device = jax.device_count() == 1
+
+    def fill_from(self, src):
+        """Yield blocks from `src`, storing each (device-resident when a
+        single device serves eval). Marks the cache complete only when the
+        source is exhausted — an aborted pass never registers."""
+        for stacked, rows in src:
+            if self.on_device:
+                stacked = jax.device_put(stacked)
+            self.blocks.append((stacked, rows))
+            yield stacked, rows
+        self.complete = True
+
+
+# [(key, weakref-to-hashed, EvalCache)]; tiny LRU — one eval corpus per run.
+_EVAL_CACHES: list = []
+_EVAL_CACHE_CAP = 4
+
+
+def _k_block(n_total: int, batch_size: int) -> int:
+    # K batches per dispatch (lax.scan) + ONE stacked [K, B, D] fetch per
+    # block; the ragged tail block is padded to a full K x B so a second
+    # compiled shape serves every corpus size. Cap 64: at the full preset's
+    # 65,536-pair corpus that is 4 dispatches instead of 16 (each dispatch
+    # round-trip costs ~40 ms through the relay); the [64, B, D] stacked
+    # outputs are still only ~8 MB.
+    return max(1, min(64, (n_total + batch_size - 1) // batch_size))
+
+
+def _cache_key(cfg: RunConfig, hashed: HashedPairs, batch_size: int,
+               group: int):
+    """Corpus object identity + every config field that shapes batch
+    content; a weakref guards against id() reuse."""
+    return (id(hashed), batch_size, group, cfg.data.dedup_lookup,
+            cfg.data.max_unique, cfg.data.max_unique_rows,
+            cfg.tower.shared_weights, cfg.tower.is_sequence_model)
+
+
+def _registry_get(key, hashed) -> Optional["EvalCache"]:
+    for k, ref, cache in _EVAL_CACHES:
+        if k == key and ref() is hashed and cache.complete:
+            return cache
+    return None
+
+
+def _registry_put(key, hashed, cache: "EvalCache") -> None:
+    import weakref
+
+    _EVAL_CACHES[:] = [e for e in _EVAL_CACHES if e[0] != key]
+    _EVAL_CACHES.append((key, weakref.ref(hashed), cache))
+    while len(_EVAL_CACHES) > _EVAL_CACHE_CAP:
+        _EVAL_CACHES.pop(0)
+
+
+def embed_corpus(
+    params,
+    cfg: RunConfig,
+    hashed: HashedPairs,
+    batch_size: int = 256,
+    impl: str = "xla",
+    *,
+    device: bool = False,
+    cache=None,
+):
+    """Forward-only embed of the whole eval corpus -> (Q [N, D], Dm [N, D]).
+
+    Uses the dedup compact-gather lookup (the training fast path) whenever
+    the config enables it; tail batches are padded so every batch hits the
+    same compiled executable.
+
+    device=True keeps the embeddings ON DEVICE (returns jnp arrays) — the
+    eval path ranks on device anyway, and fetching [N, D] floats through the
+    axon relay costs ~170 ms per 4 MB (measured); only `evaluate`'s final
+    [N] rank vector should ever cross back.
+
+    cache: an EvalCache, True (use/populate the registry), or None/False
+    (re-run the host pipeline — the pre-r5 behavior).
+    """
+    from dssm_tpu.kernels.pallas_gather import sublane_group
+
+    table = params[next(iter(params))][model_base.TABLE_KEY[cfg.tower.arch]]
+    group = sublane_group(table.dtype)
+    n_total = len(hashed)
+    k_block = _k_block(n_total, batch_size)
+
+    if cache is True:
+        key = _cache_key(cfg, hashed, batch_size, group)
+        hit = _registry_get(key, hashed)
+        if hit is not None:
+            block_iter = iter(hit.blocks)
+        else:
+            # Miss: fill streamingly during THIS pass (host pipeline still
+            # overlaps device dispatches), register once complete.
+            fresh = EvalCache(batch_size, k_block)
+            _registry_put(key, hashed, fresh)
+            block_iter = fresh.fill_from(
+                _host_blocks(cfg, hashed, batch_size, group, k_block))
+    elif isinstance(cache, EvalCache):
+        block_iter = iter(cache.blocks)
+    else:
+        block_iter = _host_blocks(cfg, hashed, batch_size, group, k_block)
+    fwd_stacked = _embed_fwd_stacked(cfg.tower, impl, "qd")
+
+    qs, ds = [], []
+    pending = []
+    for stacked, rows in block_iter:
         q, d = fwd_stacked(params, stacked)
         if device:
             # Slice on device (async); nothing crosses to the host.
@@ -245,8 +342,12 @@ def evaluate(
     hashed: HashedPairs,
     batch_size: int = 256,
     impl: str = "xla",
+    cache=True,
 ) -> Dict[str, float]:
     # Embeddings stay on device end-to-end; only the [N] rank vector (and
-    # the scalar metrics) ever cross the host boundary.
-    q, d = embed_corpus(params, cfg, hashed, batch_size, impl, device=True)
+    # the scalar metrics) ever cross the host boundary. The eval corpus's
+    # host pipeline + H2D are cached across calls (EvalCache) — the corpus
+    # is fixed, so only the embed forward + rank depend on params.
+    q, d = embed_corpus(params, cfg, hashed, batch_size, impl, device=True,
+                        cache=cache)
     return ranking_metrics(q, d)
