@@ -274,37 +274,60 @@ def embed_corpus(
     return np.concatenate(qs), np.concatenate(ds)
 
 
-@jax.jit
-def _rank_chunk(qc: jax.Array, d_all: jax.Array, lo: jax.Array) -> jax.Array:
-    """ranks for the query chunk at row offset `lo`: 1 + #docs scoring
-    strictly above the true doc. The true score is read out of the SAME
-    device matmul as the candidates (s[i, lo+i]) so self-comparison is
-    bit-consistent — a separately-computed dot can differ in the last ulp
-    and spuriously out-rank the true doc. The [C, N] score block lives only
-    on device."""
-    s = jnp.dot(qc, d_all.T, preferred_element_type=jnp.float32)
-    idx = lo + jnp.arange(qc.shape[0], dtype=jnp.int32)
-    true_c = jnp.take_along_axis(s, idx[:, None], axis=1)
-    return 1 + jnp.sum((s > true_c).astype(jnp.int32), axis=1)
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _rank_all(q: jax.Array, d: jax.Array, chunk: int, dchunk: int
+              ) -> jax.Array:
+    """All chunks in ONE dispatch (lax.scan over query chunks x doc chunks):
+    each relay round-trip costs ~40 ms, so per-chunk dispatches dominated
+    eval. The doc axis is ALSO chunked (r5): a [1024, 65536] f32 score
+    block is 268 MB — far past VMEM — so the single-level scan paid a full
+    HBM round trip on every score; [chunk, dchunk] blocks keep scores
+    on-chip (measured 84 -> 36 ms at 65536x65536 on v5e).
+
+    rank = 1 + #docs scoring STRICTLY above the true doc. The self column
+    is excluded by an explicit index mask (not by comparing the true score
+    against itself inside the matmul), so the comparison cannot be flipped
+    by last-ulp differences between the row-dot true score and the blocked
+    matmul's value for the same entry; ranks match the previous
+    same-matmul extraction exactly (0/65536 mismatches measured)."""
+    n, nd = q.shape[0], d.shape[0]
+    true_c = jnp.sum(q * d[:n], axis=1)  # aligned true doc per query
+    npad = -n % chunk
+    if npad:
+        q = jnp.pad(q, ((0, npad), (0, 0)))
+        true_c = jnp.pad(true_c, (0, npad))
+    dpad = -nd % dchunk
+    if dpad:
+        d = jnp.pad(d, ((0, dpad), (0, 0)))
+    nc, ndc = q.shape[0] // chunk, d.shape[0] // dchunk
+
+    def one_q(lo, qc, tc):
+        rows = lo + jnp.arange(chunk, dtype=jnp.int32)
+
+        def dbody(cnt, j):
+            c0 = j * dchunk
+            db = jax.lax.dynamic_slice_in_dim(d, c0, dchunk)
+            s = jnp.dot(qc, db.T, preferred_element_type=jnp.float32)
+            colid = c0 + jnp.arange(dchunk, dtype=jnp.int32)
+            live = (colid[None, :] != rows[:, None]) & (colid[None, :] < nd)
+            return cnt + jnp.sum(
+                ((s > tc[:, None]) & live).astype(jnp.int32), axis=1), None
+
+        cnt, _ = jax.lax.scan(dbody, jnp.zeros((chunk,), jnp.int32),
+                              jnp.arange(ndc, dtype=jnp.int32))
+        return cnt
+
+    def qbody(lo, qc_tc):
+        qc, tc = qc_tc
+        return lo + chunk, one_q(lo, qc, tc)
+
+    _, cnts = jax.lax.scan(qbody, jnp.int32(0),
+                           (q.reshape(nc, chunk, -1),
+                            true_c.reshape(nc, chunk)))
+    return 1 + cnts.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _rank_all(q: jax.Array, d: jax.Array, chunk: int) -> jax.Array:
-    """All chunks in ONE dispatch (lax.scan over query chunks): each relay
-    round-trip costs ~40 ms, so per-chunk dispatches dominated eval."""
-    n = q.shape[0]
-    nc = n // chunk
-
-    def body(lo, qc):
-        return lo + chunk, _rank_chunk(qc, d, lo)
-
-    _, ranks = jax.lax.scan(body, jnp.int32(0),
-                            q[: nc * chunk].reshape(nc, chunk, -1))
-    ranks = ranks.reshape(-1)
-    if nc * chunk < n:  # ragged tail chunk
-        ranks = jnp.concatenate(
-            [ranks, _rank_chunk(q[nc * chunk:], d, jnp.int32(nc * chunk))])
-    return ranks
+_DOC_CHUNK = 4096
 
 
 def compute_ranks(q: np.ndarray, d: np.ndarray,
@@ -312,7 +335,8 @@ def compute_ranks(q: np.ndarray, d: np.ndarray,
     """Per-query rank of the aligned true doc, chunked on device — no [N, N]
     host matrix, one dispatch, one [N]-int fetch."""
     return np.asarray(_rank_all(jnp.asarray(q), jnp.asarray(d),
-                                min(chunk, q.shape[0])))
+                                min(chunk, q.shape[0]),
+                                min(_DOC_CHUNK, d.shape[0])))
 
 
 def metrics_from_ranks(ranks: np.ndarray, ks=(1, 10)) -> Dict[str, float]:

@@ -71,6 +71,31 @@ def test_sequence_models_learn(arch):
     assert metrics["recall@1"] >= 0.5, metrics
 
 
+def test_compute_ranks_matches_numpy_oracle():
+    """The d-chunked rank (r5) vs a dense numpy oracle, including ragged
+    sizes that exercise the q-row and d-column padding + self-exclusion
+    mask. Rows whose nearest competitor is within float noise of the true
+    score are excluded from the comparison (ulp ties can break either way)."""
+    from dssm_tpu.train.eval import compute_ranks
+
+    rng = np.random.default_rng(7)
+    for n in (64, 333, 1500):
+        q = rng.standard_normal((n, 16)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        d = (q + 0.4 * rng.standard_normal((n, 16)).astype(np.float32))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        s = q.astype(np.float64) @ d.astype(np.float64).T
+        true_c = np.diag(s)
+        self_mask = np.eye(n, dtype=bool)
+        want = 1 + ((s > true_c[:, None]) & ~self_mask).sum(axis=1)
+        got = np.asarray(compute_ranks(q, d))
+        gap = np.min(np.abs(np.where(self_mask, np.inf, s)
+                            - true_c[:, None]), axis=1)
+        solid = gap > 1e-5
+        assert solid.mean() > 0.9  # the test must actually compare rows
+        np.testing.assert_array_equal(got[solid], want[solid])
+
+
 def test_ranking_metrics_sanity():
     rng = np.random.default_rng(0)
     d = rng.normal(size=(20, 8))
