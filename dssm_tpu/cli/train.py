@@ -152,6 +152,40 @@ def main(argv: Optional[List[str]] = None) -> None:
     table_dtype = params[next(iter(params))][
         model_base.TABLE_KEY[cfg.tower.arch]].dtype
     dedup = cfg.data.dedup_lookup and uses_sparse_update(cfg)
+
+    writer = MetricsWriter(
+        f"{cfg.io.workdir}/{cfg.io.metrics_file}",
+        tensorboard_dir=(f"{cfg.io.workdir}/tb" if cfg.io.tensorboard else None),
+    )
+    ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)
+
+    spc = cfg.train.steps_per_call
+    if multi_device:
+        mesh = make_mesh(cfg.mesh)
+        state = create_sharded_state(cfg, mesh, params)
+        step_fn = make_parallel_train_step(cfg, mesh)
+        multi_fn = make_parallel_multi_step(cfg, mesh) if spc > 1 else None
+        ctx = mesh
+    else:
+        import contextlib
+
+        mesh = None
+        state = create_run_state(cfg, params)
+        step_fn = make_train_step(cfg)
+        multi_fn = make_multi_train_step(cfg) if spc > 1 else None
+        ctx = contextlib.nullcontext()
+
+    if resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}", file=sys.stderr)
+
+    start_step = int(state.step)
+    # Data cursor (SURVEY.md §6.4, VERDICT r5 item 2): every step consumes
+    # exactly one batch, so the number of batches the previous incarnation
+    # consumed IS the restored step count; the iterator fast-forwards by
+    # index math on the deterministic permutation (loader.batch_iterator).
     batches = batch_iterator(
         hashed_train,
         cfg.train.batch_size,
@@ -184,6 +218,7 @@ def main(argv: Optional[List[str]] = None) -> None:
                        % cfg.mesh.model_parallel == 0 else 0),
         local_sel_shards=max(1, jax.local_device_count()
                              // cfg.mesh.model_parallel),
+        start_batch=start_step,
     )
     from dssm_tpu.data import prefetch
     from dssm_tpu.data.loader import LockedIterator
@@ -192,36 +227,6 @@ def main(argv: Optional[List[str]] = None) -> None:
     # loop's tail path can both pull from this stream concurrently; bare
     # generators raise 'generator already executing' on that race.
     batches = LockedIterator(prefetch(batches, depth=2))
-
-    writer = MetricsWriter(
-        f"{cfg.io.workdir}/{cfg.io.metrics_file}",
-        tensorboard_dir=(f"{cfg.io.workdir}/tb" if cfg.io.tensorboard else None),
-    )
-    ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)
-
-    spc = cfg.train.steps_per_call
-    if multi_device:
-        mesh = make_mesh(cfg.mesh)
-        state = create_sharded_state(cfg, mesh, params)
-        step_fn = make_parallel_train_step(cfg, mesh)
-        multi_fn = make_parallel_multi_step(cfg, mesh) if spc > 1 else None
-        ctx = mesh
-    else:
-        import contextlib
-
-        mesh = None
-        state = create_run_state(cfg, params)
-        step_fn = make_train_step(cfg)
-        multi_fn = make_multi_train_step(cfg) if spc > 1 else None
-        ctx = contextlib.nullcontext()
-
-    if resume:
-        restored = ckpt.restore(state)
-        if restored is not None:
-            state = restored
-            print(f"resumed from step {int(state.step)}", file=sys.stderr)
-
-    start_step = int(state.step)
     # Eval rides the training fast path (dedup compact-gather + Pallas
     # kernels); tail batches are padded to one jit specialization
     # (train/eval.py), so no shape-driven fallback is needed.

@@ -420,6 +420,7 @@ def batch_iterator(
     pipeline_workers: int = 0,
     local_sel_cap: int = 0,
     local_sel_shards: int = 1,
+    start_batch: int = 0,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -427,6 +428,16 @@ def batch_iterator(
     takes rows [global_batch] per step, then slices its own contiguous
     process shard — shard h gets rows [h*B_local, (h+1)*B_local). Positive
     labels after the all-gather are diagonal offset h*B_local.
+
+    start_batch is the DATA CURSOR (SURVEY.md §6.4; VERDICT r5 item 2): the
+    number of batches already consumed by a previous incarnation of this
+    run. The stream fast-forwards by pure index math on the deterministic
+    per-epoch permutation — epoch = start_batch // batches_per_epoch, offset
+    = start_batch % batches_per_epoch — so a resumed run continues the data
+    stream exactly where the checkpoint left it instead of silently
+    replaying epoch 0. Every train step consumes exactly one batch (the
+    K-scan path consumes K batches for K steps), so the cursor IS
+    TrainState.step; cli/train passes it on resume.
 
     pipeline_workers > 1 farms the per-batch transform (gather + dedupe +
     compress — the expensive part; the C++ dedupe releases the GIL) to a
@@ -450,13 +461,16 @@ def batch_iterator(
             if wire_compress else None)
 
     def row_stream() -> Iterator[np.ndarray]:
-        epoch = 0
+        batches_per_epoch = n // global_batch
+        epoch, skip = divmod(max(0, start_batch), batches_per_epoch)
         while True:
             rng = np.random.default_rng((seed, epoch))
             perm = rng.permutation(n)
-            for start in range(0, n - global_batch + 1, global_batch):
+            for start in range(skip * global_batch, n - global_batch + 1,
+                               global_batch):
                 yield perm[start : start + global_batch]
             epoch += 1
+            skip = 0
 
     def make(rows: np.ndarray) -> Batch:
         if dedup_unique and process_count > 1:

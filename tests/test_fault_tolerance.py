@@ -71,6 +71,68 @@ def test_sigkill_and_resume(tmp_path):
     assert len(train_steps) >= 2
 
 
+def test_sigkill_resume_data_stream_continuity(tmp_path):
+    """Data cursor (SURVEY.md §6.4, VERDICT r5 item 2): the resumed run must
+    continue the EXACT data stream the killed run left — per-step losses
+    after resume equal an unkilled fixed-seed run's at the same steps. The
+    r4 behavior (fresh iterator restarting at epoch 0 batch 0 while the step
+    counter continued) produced different batches and fails this."""
+    work = str(tmp_path / "killed")
+    proc = subprocess.Popen(
+        _cli(work, 400) + ["--train.log_every=1"], env=_env(),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    ckpt_dir = os.path.join(work, "checkpoints")
+    deadline = time.time() + 240
+    seen = []
+    while time.time() < deadline:
+        if os.path.isdir(ckpt_dir):
+            seen = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+            if seen:
+                break
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode()
+            raise AssertionError(f"trainer exited early:\n{out[-3000:]}")
+        time.sleep(0.5)
+    assert seen, "no checkpoint appeared within deadline"
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    latest = max(int(d) for d in
+                 os.listdir(ckpt_dir) if d.isdigit())
+    target = latest + 15  # guaranteed overlap window after the resume point
+
+    out = subprocess.run(_cli(work, target) + ["--train.log_every=1"],
+                         env=_env(), capture_output=True, timeout=240)
+    log = out.stdout.decode() + out.stderr.decode()
+    assert out.returncode == 0, log[-3000:]
+    assert "resumed from step" in log, log[-3000:]
+    resumed_step = int(log.split("resumed from step ")[1].split()[0])
+
+    # Unkilled reference run: same seed/config, fresh workdir, same budget.
+    ref = str(tmp_path / "ref")
+    out2 = subprocess.run(_cli(ref, target) + ["--train.log_every=1"],
+                          env=_env(), capture_output=True, timeout=240)
+    assert out2.returncode == 0, (out2.stdout + out2.stderr).decode()[-3000:]
+
+    def losses(workdir):
+        got = {}
+        for line in open(os.path.join(workdir, "metrics.jsonl")):
+            r = json.loads(line)
+            if r["tag"] == "train":
+                got[r["step"]] = r["loss"]  # later incarnations overwrite
+        return got
+
+    killed, unkilled = losses(work), losses(ref)
+    overlap = sorted(s for s in killed
+                     if s in unkilled and s >= resumed_step)
+    assert len(overlap) >= 5, (resumed_step, sorted(killed), sorted(unkilled))
+    for s in overlap:
+        assert killed[s] == unkilled[s], (
+            f"step {s}: resumed loss {killed[s]} != unkilled {unkilled[s]} "
+            "— the resumed run is not continuing the checkpointed data "
+            "stream")
+
+
 def test_stacked_tail_steps(tmp_path):
     """Regression (ADVICE r3 medium): with steps_per_call>1 and a max_steps
     that is NOT a multiple of it, the tail single-steps pull from the same
