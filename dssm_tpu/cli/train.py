@@ -219,6 +219,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         local_sel_shards=max(1, jax.local_device_count()
                              // cfg.mesh.model_parallel),
         start_batch=start_step,
+        reshuffle_each_epoch=cfg.data.reshuffle_each_epoch,
+        cache_epoch_batches=cfg.data.cache_epoch_batches,
     )
     from dssm_tpu.data import prefetch
     from dssm_tpu.data.loader import LockedIterator

@@ -421,6 +421,8 @@ def batch_iterator(
     local_sel_cap: int = 0,
     local_sel_shards: int = 1,
     start_batch: int = 0,
+    reshuffle_each_epoch: bool = True,
+    cache_epoch_batches: bool = False,
 ) -> Iterator[Batch]:
     """Infinite epoch-shuffled iterator over per-host batch shards.
 
@@ -446,6 +448,15 @@ def batch_iterator(
     concurrently. This is how a many-core production host amortizes the
     per-step global-batch dedupe below the device step time (the dedupe
     itself is also internally threaded — DSSM_DEDUPE_THREADS).
+
+    reshuffle_each_epoch=False fixes the epoch permutation to (seed, 0) —
+    the reference-faithful fixed pack order — and with
+    cache_epoch_batches=True the finished batch dicts (dedupe + reslot +
+    compress output) are memoized during epoch 1 and replayed afterwards:
+    steady-state host cost per step becomes one dict lookup (VERDICT r5
+    item 4). Cached batches are shared objects — consumers must treat
+    batches as read-only (they all do: stacking/device_put/copy-on-write
+    transforms only).
     """
     n = len(hashed)
     if global_batch % process_count != 0:
@@ -460,19 +471,26 @@ def batch_iterator(
     plan = (wire_dtype_plan(hashed, dedup_unique or 0, dedup_unique_rows)
             if wire_compress else None)
 
-    def row_stream() -> Iterator[np.ndarray]:
+    def row_stream() -> Iterator:
         batches_per_epoch = n // global_batch
         epoch, skip = divmod(max(0, start_batch), batches_per_epoch)
         while True:
-            rng = np.random.default_rng((seed, epoch))
+            rng = np.random.default_rng(
+                (seed, epoch if reshuffle_each_epoch else 0))
             perm = rng.permutation(n)
-            for start in range(skip * global_batch, n - global_batch + 1,
-                               global_batch):
-                yield perm[start : start + global_batch]
+            for bi, start in enumerate(
+                    range(skip * global_batch, n - global_batch + 1,
+                          global_batch), start=skip):
+                yield bi, perm[start : start + global_batch]
             epoch += 1
             skip = 0
 
-    def make(rows: np.ndarray) -> Batch:
+    # Epoch batch cache (reference-faithful fixed order only): finished
+    # batch dicts keyed by in-epoch batch index.
+    epoch_cache: Optional[Dict[int, Batch]] = (
+        {} if cache_epoch_batches and not reshuffle_each_epoch else None)
+
+    def make_uncached(rows: np.ndarray) -> Batch:
         if dedup_unique and process_count > 1:
             # Dedupe over the GLOBAL batch (identical on every host — same
             # seed, same permutation) so the *_uniq fields are truly
@@ -491,6 +509,17 @@ def batch_iterator(
             # Third dedupe level: per-data-shard slot spaces (reslot_local).
             out = reslot_local(out, local_sel_cap, local_sel_shards)
         return compress_wire(out, plan) if wire_compress else out
+
+    def make(job) -> Batch:
+        bi, rows = job
+        if epoch_cache is not None:
+            hit = epoch_cache.get(bi)
+            if hit is not None:
+                return hit
+        out = make_uncached(rows)
+        if epoch_cache is not None:
+            epoch_cache[bi] = out
+        return out
 
     rs = row_stream()
     if pipeline_workers and pipeline_workers > 1:
@@ -515,8 +544,8 @@ def batch_iterator(
             except Exception:
                 pass
     else:
-        for rows in rs:
-            yield make(rows)
+        for job in rs:
+            yield make(job)
 
 
 def prefetch(iterator: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:

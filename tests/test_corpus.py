@@ -163,3 +163,55 @@ def test_batch_iterator_start_batch_cursor():
             assert a.keys() == b.keys()
             for k in a:
                 np.testing.assert_array_equal(a[k], b[k], err_msg=(start, k))
+
+
+def test_fixed_epoch_order_and_batch_cache(monkeypatch):
+    """reshuffle_each_epoch=False replays the same stream every epoch;
+    cache_epoch_batches memoizes the finished batches so the host pipeline
+    (select + dedupe) runs exactly once per in-epoch batch index
+    (VERDICT r5 item 4)."""
+    cfg = _cfg()
+    pairs = make_toy_pairs(192, vocab_words=48, seed=9)
+    hashed = hash_pairs(pairs, cfg.tower, cfg.data)
+    bpe = 192 // 64  # 3 batches per epoch
+
+    def take(count, **kw):
+        it = loader.batch_iterator(hashed, 64, False, seed=4,
+                                   dedup_unique=512, dedup_joint=True, **kw)
+        return [next(it) for _ in range(count)]
+
+    # fixed order: epoch 2 == epoch 1
+    fixed = take(2 * bpe, reshuffle_each_epoch=False)
+    for a, b in zip(fixed[:bpe], fixed[bpe:]):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # default reshuffling: epoch 2 differs
+    shuf = take(2 * bpe)
+    assert any(not np.array_equal(shuf[i]["q_wgt"], shuf[bpe + i]["q_wgt"])
+               for i in range(bpe))
+
+    # cache: the expensive transform runs once per index across 3 epochs
+    calls = []
+    real = loader.select_batch
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(loader, "select_batch", counting)
+    cached = take(3 * bpe, reshuffle_each_epoch=False,
+                  cache_epoch_batches=True)
+    assert len(calls) == bpe, len(calls)
+    for e in (1, 2):
+        for i in range(bpe):
+            for k in cached[i]:
+                np.testing.assert_array_equal(cached[i][k],
+                                              cached[e * bpe + i][k])
+
+    # config gate
+    import pytest as _pytest
+
+    from dssm_tpu.config import validate as _validate
+    with _pytest.raises(ValueError, match="cache_epoch_batches"):
+        _validate(cfg.replace(data=cfg.data.replace(
+            cache_epoch_batches=True)))
