@@ -411,8 +411,11 @@ def main():
                                        impl="pallas")
 
                     def loss_fn(dense_params, c_):
-                        rs = (batch["sel"] if "sel" in batch
-                              else batch["sel_local"][0])
+                        # reslot_local emits GLOBAL SLOT ids (r5): compose
+                        # through sel like the single-device sparse step.
+                        rs = (jnp.take(batch["sel"], batch["sel_local"][0],
+                                       axis=0)
+                              if "sel_local" in batch else batch["sel"])
                         lq, ld = joint_lookup_from_compact(
                             c_, rs, batch["q_inv"], batch["q_wgt"],
                             batch["d_inv"], batch["d_wgt"], cdt,

@@ -166,6 +166,14 @@ class MeshConfig(_Replaceable):
     data_parallel: int = -1  # -1: all remaining devices
     model_parallel: int = 1
     global_negatives: bool = True  # all-gather doc embeddings over 'data'
+    # Wire dtype for the two big table-path collectives: the mp compact-
+    # gather psum and the data-axis compact-grad psum (via the rows2 cast,
+    # parallel/sparse_step.py). "bfloat16" halves both payloads; the lookup
+    # consumes the compact at compute_dtype (bf16 at the big presets)
+    # anyway, and table updates are SGD row adds, so the rounding enters
+    # only through already-bf16 compute. "float32" (default) keeps the
+    # bit-exact-vs-single-device parity the tests assert.
+    collective_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 @dataclass(frozen=True)
@@ -330,7 +338,12 @@ def _preset_multihost() -> RunConfig:
         # Vocab-sharded embedding table (TP over 'model') + global negative
         # pool over 'data' — the two BASELINE.json:11 requirements.
         mesh=MeshConfig(data_parallel=-1, model_parallel=2,
-                        global_negatives=True),
+                        global_negatives=True,
+                        # Halves the mp gather psum + data-axis compact-grad
+                        # psum wire; with the sel-basis grad this keeps the
+                        # derived scaling efficiency >=90% out to dp=64
+                        # (parallel/comm_model.py).
+                        collective_dtype="bfloat16"),
         train=TrainConfig(batch_size=65536),
     )
 
@@ -385,6 +398,14 @@ def validate(cfg: RunConfig) -> RunConfig:
                        "(the dequantized union-dedupe path)"))
         checks.append((t.table_int8_headroom >= 1.0,
                        f"tower.table_int8_headroom {t.table_int8_headroom}"))
+    checks.append((cfg.mesh.collective_dtype in ("float32", "bfloat16"),
+                   f"mesh.collective_dtype {cfg.mesh.collective_dtype!r}"))
+    checks.append((cfg.mesh.collective_dtype == "float32"
+                   or tr.table_optimizer == "sgd",
+                   "mesh.collective_dtype='bfloat16' requires "
+                   "table_optimizer='sgd' (the AdaGrad accumulator column "
+                   "rides the compact gather and would be bf16-rounded "
+                   "every step)"))
     checks.append((not d.cache_epoch_batches or not d.reshuffle_each_epoch,
                    "data.cache_epoch_batches requires "
                    "reshuffle_each_epoch=False (the cached epoch-1 stream "

@@ -229,14 +229,19 @@ def reslot_local(batch: Batch, cap: int, shards: int = 1) -> Batch:
     O(B_local x K x width) while the row-select matmul is O(width x gr x h).
     Re-slotting shrinks width from u2_global to `cap` per shard.
 
-    Emits `sel_local` [shards, cap] — sel_local[s, j] is the COMPACT ROW of
-    shard s's j-th local slot (the composition sel[global_slot]) — and
+    Emits `sel_local` [shards, cap] — sel_local[s, j] is the GLOBAL
+    UNIQUE-ROW SLOT (index into `sel`) of shard s's j-th local slot — and
     rewrites {q,d}_inv into local slot ids. Lookups whose slot overflows the
     cap get their weight zeroed (same policy as the global levels). `sel`
-    is dropped. Rows are split into `shards` contiguous blocks matching the
-    mesh's contiguous batch partitioning."""
+    is KEPT: the SPMD step selects each shard's rows from the replicated
+    rows2 = compact[sel] (sel basis), so the implicit data-axis psum of the
+    compact gradient rides the u2-wide sel basis instead of the
+    group-padded compact basis — 2x (f32) to 4x (bf16 tables) less
+    all-reduce traffic (parallel/comm_model.py, VERDICT r5 item 5). Rows
+    are split into `shards` contiguous blocks matching the mesh's
+    contiguous batch partitioning."""
     sel = batch["sel"]
-    out = {k: v for k, v in batch.items() if k != "sel"}
+    out = dict(batch)
     b = batch["q_inv"].shape[0]
     if b % shards:
         raise ValueError(f"batch {b} not divisible by {shards} shards")
@@ -261,7 +266,7 @@ def reslot_local(batch: Batch, cap: int, shards: int = 1) -> Batch:
         hit = np.zeros((int(sel.shape[0]),), dtype=bool)
         remap[used] = np.arange(used.size, dtype=np.int32)
         hit[used] = True
-        sel_local[s, :used.size] = sel[used]
+        sel_local[s, :used.size] = used
         for inv, wgt in ((qi, qw), (di, dw)):
             ok = hit[inv]
             wgt[~ok] = 0

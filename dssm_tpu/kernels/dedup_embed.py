@@ -341,7 +341,7 @@ def gather_compact(
 
     ctx = sharded_embed.current_context()
     if ctx is not None:
-        mesh, model_axis, _, base_impl = ctx
+        mesh, model_axis, _, base_impl, coll_dtype = ctx
         if mesh.shape[model_axis] > 1:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
@@ -369,6 +369,15 @@ def gather_compact(
                 else:
                     part = jnp.take(tbl, expand_group_rows(rel, group),
                                     axis=0, mode="fill", fill_value=0)
+                if (coll_dtype == "bfloat16"
+                        and part.dtype == jnp.float32):
+                    # Halve the mp psum wire (mesh.collective_dtype): each
+                    # row lives on exactly one shard, so the "sum" is a
+                    # fill-in — bf16 rounds the row values once, exactly
+                    # like the compute cast the lookup applies anyway.
+                    return jax.lax.psum(
+                        part.astype(jnp.bfloat16), model_axis
+                    ).astype(jnp.float32)
                 return jax.lax.psum(part, model_axis)
 
             return shard_map(

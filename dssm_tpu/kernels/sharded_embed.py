@@ -30,16 +30,17 @@ _CTX = threading.local()
 
 @contextmanager
 def sharded_lookup_context(mesh: Mesh, model_axis: str = "model",
-                           data_axis: str = "data", base_impl: str = "xla"):
+                           data_axis: str = "data", base_impl: str = "xla",
+                           collective_dtype: str = "float32"):
     prev = getattr(_CTX, "value", None)
-    _CTX.value = (mesh, model_axis, data_axis, base_impl)
+    _CTX.value = (mesh, model_axis, data_axis, base_impl, collective_dtype)
     try:
         yield
     finally:
         _CTX.value = prev
 
 
-def current_context() -> Optional[Tuple[Mesh, str, str, str]]:
+def current_context() -> Optional[Tuple[Mesh, str, str, str, str]]:
     return getattr(_CTX, "value", None)
 
 

@@ -55,7 +55,7 @@ def embedding_bag(
 
     ctx = sharded_embed.current_context()
     if ctx is not None:
-        mesh, model_axis, data_axis, base_impl = ctx
+        mesh, model_axis, data_axis, base_impl, _ = ctx
         if mesh.shape[model_axis] > 1:
             return sharded_embed.embedding_bag_sharded(
                 table, idx, wgt, mesh, model_axis, data_axis, base_impl

@@ -95,13 +95,30 @@ def make_parallel_sparse_step_body(
                 # Per-data-shard slot spaces (loader.reslot_local): each
                 # shard selects/counts against its OWN (much narrower) slot
                 # list — explicit shard_map so the count width is the LOCAL
-                # cap, not the global unique-row count. The replicated
-                # compact's gradient transposes to a psum over 'data'.
+                # cap, not the global unique-row count.
+                #
+                # The shard_map input is rows2 = compact[sel] (the u2-wide
+                # SEL basis), not the compact itself: the replicated input's
+                # gradient transposes to an implicit psum over 'data', and
+                # in the sel basis that all-reduce is 2x (f32) to 4x (bf16
+                # table) smaller than the group-padded compact basis — the
+                # dominant exposed-comm term at large dp
+                # (parallel/comm_model.py, VERDICT r5 item 5). The
+                # expansion g_compact[sel] += g_rows2 is the take()
+                # transpose, replicated, no comm. sel_local holds GLOBAL
+                # SLOT ids (indices into sel). mesh.collective_dtype=
+                # "bfloat16" additionally halves the psum wire; the lookup
+                # consumes rows2 at compute_dtype anyway.
                 from jax import shard_map
 
-                def local_fn(c_, s, qi, qw, di, dw):
+                rows2 = jnp.take(cq, batch["sel"], axis=0)
+                if (cfg.mesh.collective_dtype == "bfloat16"
+                        and rows2.dtype == jnp.float32):
+                    rows2 = rows2.astype(jnp.bfloat16)
+
+                def local_fn(r2, s, qi, qw, di, dw):
                     return joint_lookup_from_compact(
-                        c_, s[0], qi, qw, di, dw, compute_dtype,
+                        r2, s[0], qi, qw, di, dw, compute_dtype,
                         impl=base_impl)
 
                 lq, ld = shard_map(
@@ -112,7 +129,7 @@ def make_parallel_sparse_step_body(
                               P(DATA_AXIS, None)),
                     out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
                     check_vma=False,
-                )(cq, batch["sel_local"], batch["q_inv"], batch["q_wgt"],
+                )(rows2, batch["sel_local"], batch["q_inv"], batch["q_wgt"],
                   batch["d_inv"], batch["d_wgt"])
             else:
                 lq, ld = joint_lookup_from_compact(
@@ -150,8 +167,9 @@ def make_parallel_sparse_step_body(
 
     def gather_one(table, uniq, group):
         if mp > 1:
-            with sharded_lookup_context(mesh, MODEL_AXIS, DATA_AXIS,
-                                        base_impl):
+            with sharded_lookup_context(
+                    mesh, MODEL_AXIS, DATA_AXIS, base_impl,
+                    cfg.mesh.collective_dtype):
                 return gather_compact(table, uniq, group, impl=impl)
         return gather_compact(table, uniq, group, impl=impl)
 

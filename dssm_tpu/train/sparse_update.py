@@ -179,18 +179,20 @@ def make_sparse_train_step_body(
         # (dedup_embed.joint_lookup_from_compact).
         from dssm_tpu.kernels.dedup_embed import joint_lookup_from_compact
 
-        if "sel" in batch:
-            row_sel = batch["sel"]
-        else:
-            # Host-local slot space (loader.reslot_local); the single-device
-            # step consumes exactly one shard.
+        if "sel_local" in batch:
+            # Host-local slot space (loader.reslot_local): sel_local holds
+            # GLOBAL SLOT ids into `sel`; the single-device step consumes
+            # exactly one shard, so compose row_sel = sel[sel_local[0]]
+            # (identical selection to the SPMD rows2-basis path).
             sl = batch["sel_local"]
             if sl.ndim != 2 or sl.shape[0] != 1:
                 raise ValueError(
                     f"sel_local shape {sl.shape}: the single-device step "
                     "needs local_sel_shards=1 (multi-shard slot spaces run "
                     "under the parallel step's shard_map)")
-            row_sel = sl[0]
+            row_sel = jnp.take(batch["sel"], sl[0], axis=0)
+        else:
+            row_sel = batch["sel"]
         lq, ld = joint_lookup_from_compact(
             c, row_sel, batch["q_inv"], batch["q_wgt"],
             batch["d_inv"], batch["d_wgt"], compute_dtype, impl=impl)

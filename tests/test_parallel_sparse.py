@@ -317,7 +317,10 @@ def test_reslot_local_lookup_equivalence():
     cfg = _cfg()
     batch = _batch(cfg, joint=True)
     reslotted = loader.reslot_local(dict(batch), cap=512, shards=1)
-    assert "sel" not in reslotted and reslotted["sel_local"].shape == (1, 512)
+    # r5: sel is KEPT (the SPMD path selects from rows2 = compact[sel]) and
+    # sel_local holds GLOBAL SLOT ids into it.
+    assert "sel" in reslotted and reslotted["sel_local"].shape == (1, 512)
+    assert reslotted["sel_local"].max() < batch["sel"].shape[0]
 
     ref_state = create_state(mb.init_params(cfg.tower, seed=0), cfg.train)
     step = make_train_step(cfg, impl="xla")
@@ -414,3 +417,47 @@ def test_parallel_multi_step_with_local_sel():
     np.testing.assert_allclose(
         np.asarray(state.params["shared"]["W0"]),
         np.asarray(ref_state.params["shared"]["W0"]), rtol=1e-4, atol=1e-6)
+
+
+def test_collective_dtype_bf16_close_to_f32():
+    """mesh.collective_dtype='bfloat16' (r5): the mp gather psum and the
+    data-axis compact-grad psum ride a bf16 wire. Not bit-exact by design;
+    the step must stay close to the f32-collective run and learn
+    identically in shape."""
+    losses = {}
+    tables = {}
+    for cd in ("float32", "bfloat16"):
+        cfg = _cfg(4, 2).replace(mesh=_cfg(4, 2).mesh.replace(
+            collective_dtype=cd))
+        batch = loader.reslot_local(
+            dict(_batch(cfg, joint=True)), cap=256, shards=4)
+        mesh = mesh_lib.make_mesh(cfg.mesh)
+        state = create_sharded_state(cfg, mesh,
+                                     mb.init_params(cfg.tower, seed=0))
+        with mesh:
+            step = make_parallel_train_step(cfg, mesh, impl="xla")
+            ls = []
+            for _ in range(3):
+                state, aux = step(state, shard_batch(batch, mesh))
+                ls.append(float(aux["loss"]))
+        losses[cd] = ls
+        tables[cd] = np.asarray(state.params["shared"]["W0"], np.float32)
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
+                               rtol=2e-2)
+    # tables diverge only at bf16-rounding scale
+    diff = np.abs(tables["bfloat16"] - tables["float32"]).max()
+    assert diff < 0.05, diff
+
+
+def test_collective_dtype_validate_gate():
+    import pytest as _pytest
+
+    from dssm_tpu.config import validate
+    cfg = _cfg(4, 2)
+    with _pytest.raises(ValueError, match="collective_dtype"):
+        validate(cfg.replace(mesh=cfg.mesh.replace(
+            collective_dtype="float16")))
+    with _pytest.raises(ValueError, match="AdaGrad"):
+        validate(cfg.replace(
+            mesh=cfg.mesh.replace(collective_dtype="bfloat16"),
+            train=cfg.train.replace(table_optimizer="adagrad")))
