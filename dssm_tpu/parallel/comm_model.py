@@ -69,7 +69,13 @@ def step_collectives(cfg, dp: int, mp: int, *,
     terms: List[Term] = []
 
     if mp > 1:
-        payload = u1_rows * h_pad * table_itemsize
+        # Wire dtype: mesh.collective_dtype casts the psum payload (the
+        # local partial is bf16 on the wire even for an f32 table); a bf16
+        # table is already 2 B. CAVEAT: the CPU-backend HLO artifact shows
+        # XLA promoting bf16 all-reduces back to f32 wires
+        # (artifacts/overlap_hlo_cpu8.md) — if the TPU backend does the
+        # same, double these two psum terms (quoted in BASELINE.md).
+        payload = u1_rows * h_pad * min(table_itemsize, collective_itemsize)
         if gather_allgather:
             terms.append(Term(
                 "fwd compact gather (mp): all-gather owned rows",
