@@ -38,7 +38,9 @@ def main():
 
     cfg = validate(get_preset("full").replace())
     cfg16 = validate(cfg.replace(tower=cfg.tower.replace(table_dtype="bfloat16")))
-    K = 64
+    # K=256: the relay's 7-13 ms per-dispatch overhead divides to ~40 us/
+    # step (vs ~150-200 at K=64) so stage-minus-NULL differences resolve.
+    K = 256
 
     for tag, c in (("f32", cfg), ("bf16", cfg16)):
         if only and tag != only:
@@ -91,6 +93,17 @@ def main():
             dt = (time.perf_counter() - t0) / (iters * K)
             print(f"[{tag}] {name:34s} {dt*1e6:9.1f} us/step", flush=True)
             return carry
+
+        # 0. null stage: measures the per-step floor every stage below
+        # carries — the scan iteration + the relay dispatch/fetch overhead
+        # divided by K (measured 7-13 ms per call -> 110-200 us/step at
+        # K=64, swinging with the tunnel). Quote stages as (raw - null):
+        # the r4 stage notes quoted raw numbers from a thin-tunnel session.
+        def body_null(carry, b):
+            return carry, jnp.sum(b["q_wgt"][0].astype(jnp.float32))
+
+        _null_carry = timed("NULL (scan+relay floor)", body_null,
+                            jnp.zeros((8, 128), jnp.float32))
 
         # Stage inputs, computed before any donation consumes `table`.
         c0 = jax.jit(gather_compact, static_argnums=(2, 3))(
