@@ -330,12 +330,29 @@ def _rank_all(q: jax.Array, d: jax.Array, chunk: int, dchunk: int
 _DOC_CHUNK = 4096
 
 
+@functools.lru_cache(maxsize=1)
+def _rank_pallas_jit():
+    from dssm_tpu.kernels.pallas_rank import rank_counts_pallas
+
+    return jax.jit(rank_counts_pallas)
+
+
 def compute_ranks(q: np.ndarray, d: np.ndarray,
                   chunk: int = _RANK_CHUNK) -> np.ndarray:
-    """Per-query rank of the aligned true doc, chunked on device — no [N, N]
-    host matrix, one dispatch, one [N]-int fetch."""
-    return np.asarray(_rank_all(jnp.asarray(q), jnp.asarray(d),
-                                min(chunk, q.shape[0]),
+    """Per-query rank of the aligned true doc, computed on device — no
+    [N, N] host matrix, one dispatch, one [N]-int fetch.
+
+    MEASURED NEGATIVE RESULT (r5): a streaming Pallas rank kernel
+    (kernels/pallas_rank.py — compare+count fused into the blockwise
+    matmul, VMEM-only score blocks, predicated self/pad corrections) is
+    rank-exact but measures 42.5 ms vs this XLA scan's 40.4 at 65k x 65k
+    on v5e: both are bound by the f32 [N, N, 128] matmul itself (v5e
+    executes f32 matmuls as multi-pass bf16), so removing the HBM block
+    round-trips buys nothing the d-chunking didn't already. The kernel
+    ships parity-tested for future wider-embedding configs; the XLA scan
+    stays the default. Don't retry without dropping matmul precision."""
+    qd, dd = jnp.asarray(q), jnp.asarray(d)
+    return np.asarray(_rank_all(qd, dd, min(chunk, q.shape[0]),
                                 min(_DOC_CHUNK, d.shape[0])))
 
 

@@ -540,3 +540,25 @@ def test_fused_gather_joint_step_matches_xla():
     np.testing.assert_allclose(
         np.asarray(state.params["shared"]["W0"]),
         np.asarray(ref_state.params["shared"]["W0"]), rtol=1e-4, atol=1e-6)
+
+
+def test_rank_kernel_matches_xla_scan():
+    """Streaming Pallas rank kernel (r5) vs the XLA d-chunked scan and a
+    numpy oracle — ragged sizes exercise both row and column padding + the
+    self-exclusion mask."""
+    from dssm_tpu.kernels.pallas_gather import force_interpret
+    from dssm_tpu.kernels.pallas_rank import rank_counts_pallas
+    from dssm_tpu.train.eval import _rank_all
+
+    rng = np.random.default_rng(3)
+    for n in (96, 600):
+        q = rng.standard_normal((n, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        d = (q + 0.4 * rng.standard_normal((n, 128)).astype(np.float32))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        want = np.asarray(_rank_all(jnp.asarray(q), jnp.asarray(d),
+                                    min(1024, n), min(4096, n)))
+        with force_interpret():
+            got = np.asarray(rank_counts_pallas(jnp.asarray(q),
+                                                jnp.asarray(d)))
+        np.testing.assert_array_equal(got, want, err_msg=str(n))
