@@ -330,13 +330,6 @@ def _rank_all(q: jax.Array, d: jax.Array, chunk: int, dchunk: int
 _DOC_CHUNK = 4096
 
 
-@functools.lru_cache(maxsize=1)
-def _rank_pallas_jit():
-    from dssm_tpu.kernels.pallas_rank import rank_counts_pallas
-
-    return jax.jit(rank_counts_pallas)
-
-
 def compute_ranks(q: np.ndarray, d: np.ndarray,
                   chunk: int = _RANK_CHUNK) -> np.ndarray:
     """Per-query rank of the aligned true doc, computed on device — no
