@@ -37,6 +37,13 @@ class Checkpointer:
         return str(self._mngr.directory)
 
     def save(self, step: int, state: TrainState, force: bool = False) -> bool:
+        if self._mngr.should_save(step) or force:
+            # A fresh (non --resume) run into a workdir holding an older
+            # checkpoint at the same step would crash at save time with
+            # StepAlreadyExistsError; the re-trained state supersedes the
+            # stale artifact, so delete-then-save.
+            if step in self._mngr.all_steps():
+                self._mngr.delete(step)
         return self._mngr.save(step, args=ocp.args.StandardSave(state),
                                force=force)
 

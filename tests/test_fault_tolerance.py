@@ -147,3 +147,30 @@ def test_stacked_tail_steps(tmp_path):
     assert out.returncode == 0, log[-3000:]
     assert "generator already executing" not in log
     assert "final eval" in log
+
+
+def test_checkpoint_overwrites_stale_same_step(tmp_path):
+    """A fresh (non --resume) run into a workdir holding an older checkpoint
+    at the same step must overwrite it, not crash with
+    StepAlreadyExistsError at the final save (r5 verify finding)."""
+    import jax.numpy as jnp
+
+    from dssm_tpu.io.checkpoint import Checkpointer
+    from dssm_tpu.train.state import TrainState
+
+    def state(v):
+        return TrainState(step=jnp.int32(7),
+                          params={"shared": {"W0": jnp.full((4, 4), v)}},
+                          opt_state=())
+
+    ck = Checkpointer(str(tmp_path), keep=2, async_save=False)
+    assert ck.save(7, state(1.0), force=True)
+    ck.wait()
+    ck.close()
+
+    ck2 = Checkpointer(str(tmp_path), keep=2, async_save=False)
+    assert ck2.save(7, state(2.0), force=True)  # same step, fresh run
+    ck2.wait()
+    got = ck2.restore(state(0.0))
+    assert float(got.params["shared"]["W0"][0, 0]) == 2.0
+    ck2.close()
