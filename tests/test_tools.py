@@ -38,3 +38,55 @@ def test_bench_dma_tiny_interpret():
     with force_interpret():
         bench_dma.main(v=1024, h=128, K=2, max_unique=64, iters=1,
                        gps_list=(8,))
+
+
+def test_comm_model_terms_and_efficiency():
+    """The derived collective model (r5): term enumeration matches the HLO
+    artifact's collective set, payload arithmetic is mesh-shape-driven, and
+    the mitigations (sel basis, bf16 wire) shrink the exposed sum."""
+    from dssm_tpu.config import get_preset
+    from dssm_tpu.parallel.comm_model import (
+        scaling_efficiency, step_collectives,
+    )
+
+    cfg = get_preset("multihost")
+    terms = step_collectives(cfg, dp=8, mp=2)
+    names = [t.name for t in terms]
+    assert any("compact gather" in n for n in names)
+    assert any("doc-pool all-gather" in n for n in names)
+    assert any("reduce-scatter" in n for n in names)
+    assert any("compact-grad psum" in n for n in names)
+    # overlappable terms don't count toward exposed
+    eff_base, exp_base, _ = scaling_efficiency(15.0, cfg, 8, 2)
+    eff_mit, exp_mit, _ = scaling_efficiency(
+        15.0, cfg, 8, 2, sel_basis_grad=True, collective_itemsize=2)
+    assert exp_mit < exp_base and eff_mit > eff_base
+    # single-axis meshes drop the other axis's terms
+    assert not any("(mp)" in t.name or "gather (mp" in t.name
+                   for t in step_collectives(cfg, dp=8, mp=1))
+    assert step_collectives(cfg, dp=1, mp=1) == []
+
+
+def test_hlo_overlap_analyze_parser():
+    """The HLO dependency analyzer on a synthetic module: collective found,
+    ancestors/descendants excluded from the legal-overlap set."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import dump_overlap_hlo as doh
+    finally:
+        sys.path.pop(0)
+    hlo = """
+ENTRY %main (p0: f32[8,4]) -> f32[8,4] {
+  %p0 = f32[8,4] parameter(0)
+  %dot.1 = f32[8,4] dot(%p0, %p0)
+  %ag = f32[16,4] all-gather(%dot.1), replica_groups={{0,1}}
+  %dot.2 = f32[8,4] dot(%ag, %ag)
+  %dot.3 = f32[8,4] dot(%p0, %p0)
+  ROOT %out = f32[8,4] dot(%dot.3, %dot.3)
+}
+"""
+    reps = doh.analyze(hlo)
+    assert len(reps) == 1 and reps[0]["op"] == "all-gather"
+    # dot.1 is an ancestor, dot.2 a descendant; dot.3 and out are independent
+    assert reps[0]["compute_total"] == 4
+    assert reps[0]["compute_independent"] == 2
