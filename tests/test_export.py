@@ -73,6 +73,22 @@ def test_top_k_empty_query_set():
     assert ss.dtype == np.float32 and ii.dtype == np.int64
 
 
+def test_top_k_approx_mode(trained):
+    """exact=False routes through lax.approx_max_k (exact on the CPU
+    backend, approximate-but-fast on TPU): well-formed output, near-total
+    agreement with the exact path at small scale."""
+    cfg, state, pairs = trained
+    titles = list(dict.fromkeys(pairs.titles))
+    index = build_doc_index(state.params, cfg, titles, batch_size=64)
+    q_emb = embed_queries(state.params, cfg, pairs.queries[:100],
+                          batch_size=64)
+    se, ie = top_k(q_emb, index, k=5)
+    sa, ia = top_k(q_emb, index, k=5, exact=False)
+    assert sa.shape == se.shape and ia.shape == ie.shape
+    assert float((ia == ie).mean()) > 0.9
+    assert np.all(np.diff(sa, axis=1) <= 1e-6)  # descending
+
+
 def test_index_roundtrip(tmp_path, trained):
     cfg, state, pairs = trained
     titles = list(dict.fromkeys(pairs.titles))[:32]
