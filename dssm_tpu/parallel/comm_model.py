@@ -18,8 +18,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List
 
-import numpy as np
-
 ICI_BW = 90e9  # bytes/s effective per ring direction (BASELINE.md)
 
 

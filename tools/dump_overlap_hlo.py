@@ -142,9 +142,6 @@ def analyze(hlo: str):
             anc[n] = s
         desc = {n: set() for n in order}
         for n in order:
-            for u in defs[n]:
-                pass
-        for n in order:
             for a in anc[n]:
                 desc.setdefault(a, set()).add(n)
         for n in colls:
