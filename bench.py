@@ -428,15 +428,16 @@ def main():
                                        impl="pallas")
 
                     def loss_fn(dense_params, c_):
-                        # Mirror the production SPMD path (sparse_step r5):
-                        # select from rows2 = compact[sel] (u2-wide sel
-                        # basis) with sel_local's GLOBAL SLOT ids — the
-                        # select matmul width is u2, and the bf16
-                        # collective cast applies where the psum would.
+                        # The production SPMD path's sel-basis selection,
+                        # via the SHARED helper (sparse_step.rows2_from_
+                        # compact) so bench numerics can't drift from it.
                         if "sel_local" in batch:
-                            rows2 = jnp.take(c_, batch["sel"], axis=0)
-                            if cfgm.mesh.collective_dtype == "bfloat16":
-                                rows2 = rows2.astype(jnp.bfloat16)
+                            from dssm_tpu.parallel.sparse_step import (
+                                rows2_from_compact)
+
+                            rows2 = rows2_from_compact(
+                                c_, batch["sel"],
+                                cfgm.mesh.collective_dtype)
                             lq, ld = joint_lookup_from_compact(
                                 rows2, batch["sel_local"][0],
                                 batch["q_inv"], batch["q_wgt"],

@@ -157,6 +157,28 @@ def main(argv: Optional[List[str]] = None) -> None:
         f"{cfg.io.workdir}/{cfg.io.metrics_file}",
         tensorboard_dir=(f"{cfg.io.workdir}/tb" if cfg.io.tensorboard else None),
     )
+    # Fresh run (no --resume) into a workdir with existing checkpoints:
+    # clear them. Stale LATER-step checkpoints would make orbax skip every
+    # intermediate save (latest_step >= step) and a subsequent --resume
+    # would silently restore the OLD run's weights.
+    if not resume:
+        import os as _os
+        import shutil as _shutil
+
+        _ckpt_dir = _os.path.join(cfg.io.workdir, "checkpoints")
+        if (_os.path.isdir(_ckpt_dir)
+                and any(d.isdigit() for d in _os.listdir(_ckpt_dir))):
+            if jax.process_index() == 0:
+                print("WARNING: fresh run (no --resume) into a workdir "
+                      f"with existing checkpoints — clearing {_ckpt_dir} "
+                      "(stale checkpoints would suppress saves and poison "
+                      "a later --resume). Pass --resume to continue the "
+                      "previous run instead.", file=sys.stderr)
+                _shutil.rmtree(_ckpt_dir)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("ckpt_clear")
     ckpt = Checkpointer(cfg.io.workdir, keep=cfg.train.keep_checkpoints)
 
     spc = cfg.train.steps_per_call

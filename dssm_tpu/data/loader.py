@@ -532,13 +532,31 @@ def batch_iterator(
         from concurrent.futures import ThreadPoolExecutor
 
         ex = ThreadPoolExecutor(max_workers=pipeline_workers)
+        # With the epoch cache on a short epoch (bpe < W+1: the multihost
+        # preset is bpe=2, W=8), the prefill would submit several EPOCHS of
+        # jobs before any epoch-1 make completes — every one a cache miss
+        # running the dominant global dedupe redundantly. Memoize the
+        # FUTURE per in-epoch batch index: duplicate indices share one
+        # computation; result() is idempotent across yields.
+        fut_memo: Optional[Dict[int, object]] = (
+            {} if epoch_cache is not None else None)
+
+        def submit(job):
+            if fut_memo is None:
+                return ex.submit(make, job)
+            f = fut_memo.get(job[0])
+            if f is None:
+                f = ex.submit(make, job)
+                fut_memo[job[0]] = f
+            return f
+
         try:
             futs: "deque" = deque()
             for _ in range(pipeline_workers + 1):
-                futs.append(ex.submit(make, next(rs)))
+                futs.append(submit(next(rs)))
             while True:
                 batch = futs.popleft().result()
-                futs.append(ex.submit(make, next(rs)))
+                futs.append(submit(next(rs)))
                 yield batch
         finally:
             # Non-blocking teardown: this runs from generator finalization,

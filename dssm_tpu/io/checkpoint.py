@@ -37,15 +37,37 @@ class Checkpointer:
         return str(self._mngr.directory)
 
     def save(self, step: int, state: TrainState, force: bool = False) -> bool:
-        if self._mngr.should_save(step) or force:
+        stale = None
+        if ((self._mngr.should_save(step) or force)
+                and step in self._mngr.all_steps()):
             # A fresh (non --resume) run into a workdir holding an older
             # checkpoint at the same step would crash at save time with
-            # StepAlreadyExistsError; the re-trained state supersedes the
-            # stale artifact, so delete-then-save.
-            if step in self._mngr.all_steps():
-                self._mngr.delete(step)
-        return self._mngr.save(step, args=ocp.args.StandardSave(state),
-                               force=force)
+            # StepAlreadyExistsError. The re-trained state supersedes the
+            # stale artifact — but delete-then-save would leave a window
+            # with NO checkpoint if the process dies before the async save
+            # commits. Instead move the old one aside and remove it only
+            # AFTER the replacement is durable (cli/train additionally
+            # clears stale checkpoint dirs up front on fresh runs).
+            import shutil
+
+            self._mngr.wait_until_finished()
+            src = os.path.join(self.directory, str(step))
+            stale = src + ".stale"
+            shutil.rmtree(stale, ignore_errors=True)
+            try:
+                os.rename(src, stale)
+                self._mngr.reload()  # refresh the manager's step cache
+            except (OSError, AttributeError):
+                stale = None
+                self._mngr.delete(step)  # fallback: the old behavior
+        ok = self._mngr.save(step, args=ocp.args.StandardSave(state),
+                             force=force)
+        if stale is not None:
+            import shutil
+
+            self._mngr.wait_until_finished()  # replacement is durable
+            shutil.rmtree(stale, ignore_errors=True)
+        return ok
 
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()

@@ -52,6 +52,19 @@ from dssm_tpu.train.sparse_update import _dense_subtree, table_update_vals
 from dssm_tpu.train.state import TrainState, make_optimizer
 
 
+def rows2_from_compact(compact: jax.Array, sel: jax.Array,
+                       collective_dtype: str = "float32") -> jax.Array:
+    """rows2 = compact[sel] — the u2-wide SEL-basis input of the sel_local
+    shard_map (see `lookups` below). Shared by the bench's composed-step
+    emulation so the measured numerics can't drift from the production
+    path. The bf16 cast is the collective-wire dtype (mesh.collective_
+    dtype): the replicated input's grad psum then rides a bf16 wire."""
+    rows2 = jnp.take(compact, sel, axis=0)
+    if collective_dtype == "bfloat16" and rows2.dtype == jnp.float32:
+        rows2 = rows2.astype(jnp.bfloat16)
+    return rows2
+
+
 def make_parallel_sparse_train_step(
     cfg: RunConfig, mesh: Mesh, impl: Optional[str] = None
 ) -> Callable:
@@ -111,10 +124,8 @@ def make_parallel_sparse_step_body(
                 # consumes rows2 at compute_dtype anyway.
                 from jax import shard_map
 
-                rows2 = jnp.take(cq, batch["sel"], axis=0)
-                if (cfg.mesh.collective_dtype == "bfloat16"
-                        and rows2.dtype == jnp.float32):
-                    rows2 = rows2.astype(jnp.bfloat16)
+                rows2 = rows2_from_compact(cq, batch["sel"],
+                                           cfg.mesh.collective_dtype)
 
                 def local_fn(r2, s, qi, qw, di, dw):
                     return joint_lookup_from_compact(

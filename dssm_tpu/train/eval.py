@@ -187,6 +187,10 @@ def _cache_key(cfg: RunConfig, hashed: HashedPairs, batch_size: int,
 
 
 def _registry_get(key, hashed) -> Optional["EvalCache"]:
+    # Entries whose corpus has been garbage-collected are unmatchable
+    # forever but would pin their device-resident blocks in HBM until
+    # evicted by the LRU cap — drop them eagerly.
+    _EVAL_CACHES[:] = [e for e in _EVAL_CACHES if e[1]() is not None]
     for k, ref, cache in _EVAL_CACHES:
         if k == key and ref() is hashed and cache.complete:
             return cache
@@ -196,7 +200,8 @@ def _registry_get(key, hashed) -> Optional["EvalCache"]:
 def _registry_put(key, hashed, cache: "EvalCache") -> None:
     import weakref
 
-    _EVAL_CACHES[:] = [e for e in _EVAL_CACHES if e[0] != key]
+    _EVAL_CACHES[:] = [e for e in _EVAL_CACHES
+                       if e[0] != key and e[1]() is not None]
     _EVAL_CACHES.append((key, weakref.ref(hashed), cache))
     while len(_EVAL_CACHES) > _EVAL_CACHE_CAP:
         _EVAL_CACHES.pop(0)
@@ -246,7 +251,15 @@ def embed_corpus(
             block_iter = fresh.fill_from(
                 _host_blocks(cfg, hashed, batch_size, group, k_block))
     elif isinstance(cache, EvalCache):
-        block_iter = iter(cache.blocks)
+        if cache.complete:
+            block_iter = iter(cache.blocks)
+        else:
+            # Fresh or aborted explicit cache: (re)fill it this pass — a
+            # partial block list would silently evaluate a truncated
+            # corpus.
+            cache.blocks.clear()
+            block_iter = cache.fill_from(
+                _host_blocks(cfg, hashed, batch_size, group, k_block))
     else:
         block_iter = _host_blocks(cfg, hashed, batch_size, group, k_block)
     fwd_stacked = _embed_fwd_stacked(cfg.tower, impl, "qd")

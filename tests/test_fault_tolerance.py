@@ -174,3 +174,33 @@ def test_checkpoint_overwrites_stale_same_step(tmp_path):
     got = ck2.restore(state(0.0))
     assert float(got.params["shared"]["W0"][0, 0]) == 2.0
     ck2.close()
+
+
+def test_fresh_run_clears_stale_later_checkpoints(tmp_path):
+    """A fresh (non --resume) run into a workdir holding checkpoints at
+    LATER steps must clear them — otherwise orbax's latest-step gate
+    silently suppresses every intermediate save and a later --resume
+    restores the old run's weights (r5 review finding)."""
+    workdir = str(tmp_path / "run")
+
+    def cli(max_steps, resume):
+        args = [a for a in _cli(workdir, max_steps) if a != "--resume"]
+        if resume:
+            args.append("--resume")
+        return args
+
+    out = subprocess.run(cli(30, resume=False), env=_env(),
+                         capture_output=True, timeout=240)
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    assert "30" in os.listdir(ckpt_dir)
+
+    # Fresh run with a SMALLER budget: old step-30 checkpoint must go, and
+    # the new run must write its own checkpoints.
+    out = subprocess.run(cli(10, resume=False), env=_env(),
+                         capture_output=True, timeout=240)
+    log = (out.stdout + out.stderr).decode()
+    assert out.returncode == 0, log[-2000:]
+    assert "clearing" in log
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert steps and max(steps) == 10, steps
